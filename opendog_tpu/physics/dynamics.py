@@ -1,0 +1,541 @@
+"""Featherstone dynamics in base-centered world coordinates (pure JAX).
+
+Everything here is written for a *single* state and batched by ``jax.vmap`` —
+the loops over bodies/dofs are over *static* tree metadata and unroll at trace
+time into straight-line XLA ops over the batch, which is the layout the TPU
+wants (wide ``(batch, ...)`` elementwise ops + small matmuls that XLA fuses).
+
+Spatial quantities use the common-origin convention of
+:mod:`opendog_tpu.physics.spatial`: the reference origin is the floating-base
+position at the start of the step, so positions entering the algorithms stay
+O(robot size) and the mass matrix remains well conditioned in float32.
+
+Replaces the MuJoCo pipeline the reference drives through ``mj_step``
+(reference call sites: ``Code/mujoco/sim2real/train.py:281``,
+``environments/WalkEnvironment.py:58``):
+  * CRBA mass matrix + RNEA bias instead of MuJoCo's sparse factorisation;
+  * smooth penalty contact (spring-damper normal + regularised Coulomb
+    friction) instead of the elliptic-cone constraint solver — calibrated to
+    the near-rigid impratio=100 behaviour of the reference models;
+  * explicit position-servo actuators (kp/kv/forcerange,
+    our_robot.xml:11 / go1.xml:10-21);
+  * semi-implicit Euler with exact quaternion integration.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import spatial
+from .model import (
+    JNT_FREE,
+    JNT_HINGE,
+    Contact,
+    Model,
+    State,
+    StepInfo,
+    Terrain,
+)
+
+# ---------------------------------------------------------------------------
+# Static topology helpers (numpy, evaluated at trace time)
+# ---------------------------------------------------------------------------
+
+
+def _body_ancestor_matrix(model: Model) -> np.ndarray:
+    """A[b, i] = 1 if body i is an ancestor of (or equals) body b."""
+    nb = model.nbody
+    A = np.zeros((nb, nb), dtype=np.float32)
+    for b in range(nb):
+        j = b
+        while j >= 0:
+            A[b, j] = 1.0
+            j = model.body_parent[j]
+    return A
+
+
+def _dof_ancestor_matrix(model: Model) -> np.ndarray:
+    """D[i, j] = 1 if dof i belongs to an ancestor-or-self joint of dof j's
+    body (i.e. M[i, j] is structurally nonzero with i above j)."""
+    A = _body_ancestor_matrix(model)
+    nv = model.nv
+    D = np.zeros((nv, nv), dtype=np.float32)
+    for j in range(nv):
+        bj = model.dof_body[j]
+        for i in range(nv):
+            bi = model.dof_body[i]
+            if A[bj, bi]:
+                D[i, j] = 1.0
+    return D
+
+
+# ---------------------------------------------------------------------------
+# Kinematics
+# ---------------------------------------------------------------------------
+
+
+def fk(model: Model, qpos: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Forward kinematics: world body positions (nb,3) and quaternions (nb,4)."""
+    xpos, xquat = [], []
+    for i in range(model.nbody):
+        adr = model.body_qpos_adr[i]
+        if model.jnt_type[i] == JNT_FREE:
+            xpos.append(qpos[adr : adr + 3])
+            xquat.append(spatial.quat_normalize(qpos[adr + 3 : adr + 7]))
+            continue
+        parent = model.body_parent[i]
+        if parent < 0:
+            pp = jnp.zeros(3, dtype=qpos.dtype)
+            pq = spatial.quat_identity(qpos.dtype)
+        else:
+            pp, pq = xpos[parent], xquat[parent]
+        p = pp + spatial.quat_rotate(pq, model.body_pos[i])
+        q = spatial.quat_mul(pq, model.body_quat[i])
+        if model.jnt_type[i] == JNT_HINGE:
+            theta = qpos[adr]
+            qj = spatial.quat_from_axis_angle(model.jnt_axis[i], theta)
+            anchor = p + spatial.quat_rotate(q, model.jnt_pos[i])
+            q = spatial.quat_mul(q, qj)
+            p = anchor - spatial.quat_rotate(q, model.jnt_pos[i])
+        xpos.append(p)
+        xquat.append(q)
+    return jnp.stack(xpos), jnp.stack(xquat)
+
+
+def motion_subspace(
+    model: Model, xpos: jax.Array, xquat: jax.Array, origin: jax.Array
+) -> jax.Array:
+    """Per-dof spatial motion axes S (nv, 6) at the reference ``origin``.
+
+    Free joint follows the MuJoCo convention: 3 translational dofs in world
+    axes, then 3 rotational dofs as body-frame angular-velocity components
+    (axes rotate with the body)."""
+    rows = []
+    dtype = xpos.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    zero3 = jnp.zeros(3, dtype=dtype)
+    for i in range(model.nbody):
+        if model.jnt_type[i] == JNT_FREE:
+            R = spatial.quat_to_mat(xquat[i])
+            p = xpos[i] - origin
+            for k in range(3):
+                rows.append(jnp.concatenate([zero3, eye[k]]))
+            for k in range(3):
+                a = R[:, k]
+                rows.append(jnp.concatenate([a, jnp.cross(p, a)]))
+        elif model.jnt_type[i] == JNT_HINGE:
+            a = spatial.quat_rotate(xquat[i], model.jnt_axis[i])
+            anchor = xpos[i] + spatial.quat_rotate(xquat[i], model.jnt_pos[i]) - origin
+            rows.append(jnp.concatenate([a, jnp.cross(anchor, a)]))
+    return jnp.stack(rows)
+
+
+def body_velocities(model: Model, S: jax.Array, qvel: jax.Array) -> jax.Array:
+    """Spatial velocity of every body at the reference origin: (nb, 6)."""
+    return (model.ancestor_mask * qvel[None, :]) @ S
+
+
+def site_positions(model: Model, xpos: jax.Array, xquat: jax.Array) -> jax.Array:
+    """World positions of all sites (nsite, 3)."""
+    if model.nsite == 0:
+        return jnp.zeros((0, 3), dtype=xpos.dtype)
+    out = []
+    for s in range(model.nsite):
+        b = model.site_body[s]
+        out.append(xpos[b] + spatial.quat_rotate(xquat[b], model.site_pos[s]))
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Inertia / bias
+# ---------------------------------------------------------------------------
+
+
+def _spatial_inertias(
+    model: Model, xpos: jax.Array, xquat: jax.Array, origin: jax.Array
+) -> jax.Array:
+    """Per-body 6x6 spatial inertia about the reference origin: (nb, 6, 6)."""
+    R = spatial.quat_to_mat(xquat)  # (nb,3,3)
+    com = xpos + jnp.einsum("bij,bj->bi", R, model.body_com) - origin
+    I_world = jnp.einsum("bij,bjk,blk->bil", R, model.body_inertia, R)
+    return spatial.spatial_inertia_at_origin(model.body_mass, com, I_world)
+
+
+def mass_matrix(model: Model, S: jax.Array, I_O: jax.Array) -> jax.Array:
+    """CRBA in common-origin coordinates: M (nv, nv), armature included."""
+    # NOTE: topology constants stay as *numpy* so they lower as XLA
+    # literals — an eager jnp.asarray here would device_put through the
+    # remote-TPU tunnel at every trace (observed 190 s lowering).
+    A = _body_ancestor_matrix(model)  # (nb, nb) static numpy
+    # composite subtree inertia for each body: IC_i = sum_b A[b,i] * I_O[b]
+    IC = jnp.einsum("bi,bjk->ijk", A, I_O)  # (nb,6,6)
+    # F_j = IC[body(j)] @ S_j
+    dof_body = np.array(model.dof_body, dtype=np.int32)
+    IC_dof = jnp.take(IC, dof_body, axis=0)  # (nv,6,6)
+    F = jnp.einsum("jab,jb->ja", IC_dof, S)  # (nv,6)
+    W = S @ F.T  # (nv,nv): W[i,j] = S_i . F_j
+    Wm = W * _dof_ancestor_matrix(model)
+    M = Wm + Wm.T - jnp.diag(jnp.diag(Wm))
+    return M + jnp.diag(model.dof_armature)
+
+
+def bias_forces(
+    model: Model,
+    S: jax.Array,
+    V: jax.Array,
+    I_O: jax.Array,
+    qvel: jax.Array,
+) -> jax.Array:
+    """RNEA with zero acceleration: C(q, v) including gravity: (nv,)."""
+    # per-body "joint velocity" contribution: vJ_i = sum(dofs of i) S q̇
+    dof_sel = model.ancestor_mask  # (nb, nv)
+    own_mask_np = np.zeros((model.nbody, model.nv), dtype=np.float32)
+    for j in range(model.nv):
+        own_mask_np[model.dof_body[j], j] = 1.0
+    vJ = (own_mask_np * qvel[None, :]) @ S  # (nb,6)
+
+    # accelerations: a_i = a_parent + v_i x vJ_i ; a_base_frame = [0; -g]
+    g_acc = jnp.concatenate([jnp.zeros(3, dtype=V.dtype), -model.gravity])
+    a = [None] * model.nbody
+    for i in range(model.nbody):
+        parent = model.body_parent[i]
+        a_p = g_acc if parent < 0 else a[parent]
+        a[i] = a_p + spatial.motion_cross(V[i], vJ[i])
+    a = jnp.stack(a)  # (nb,6)
+
+    f = jnp.einsum("bij,bj->bi", I_O, a) + spatial.force_cross(
+        V, jnp.einsum("bij,bj->bi", I_O, V)
+    )
+    # subtree sums: f_sub_i = sum_b A[b,i] f_b ; C_j = S_j . f_sub[body(j)]
+    A = _body_ancestor_matrix(model)
+    f_sub = jnp.einsum("bi,bk->ik", A, f)  # (nb,6)
+    dof_body = np.array(model.dof_body, dtype=np.int32)
+    return jnp.einsum("jk,jk->j", S, jnp.take(f_sub, dof_body, axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Forces: actuators, passive, contact
+# ---------------------------------------------------------------------------
+
+
+def actuator_forces(
+    model: Model, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
+) -> jax.Array:
+    """Position-servo torques scattered into dof space (nv,).
+
+    tau = clip(kp (ctrl - q) - kv q̇, forcerange) — the MuJoCo position
+    actuator the reference robots use (our_robot.xml:11, go1.xml:10)."""
+    q = jnp.take(qpos, model.actuator_qposadr)
+    qd = jnp.take(qvel, model.actuator_dof)
+    tau = model.actuator_kp * (ctrl - q) - model.actuator_kv * qd
+    tau = jnp.clip(
+        tau, model.actuator_forcerange[:, 0], model.actuator_forcerange[:, 1]
+    )
+    return jnp.zeros_like(qvel).at[model.actuator_dof].add(tau)
+
+
+def passive_terms(model: Model, qpos: jax.Array, qvel: jax.Array):
+    """Soft joint-limit spring torques (explicit) + per-dof damping
+    coefficients (implicit): returns (tau_spring (nv,), d_diag (nv,)).
+
+    Damping folds joint damping, a Coulomb friction-loss linearisation
+    (saturating at ``dof_frictionloss``), and extra limit damping when a
+    limit is engaged."""
+    qj = _dof_positions(model, qpos)
+    lo, hi = model.dof_range[:, 0], model.dof_range[:, 1]
+    below = jnp.maximum(lo - qj, 0.0)
+    above = jnp.maximum(qj - hi, 0.0)
+    k = model.limit_stiffness
+    tau = model.dof_limited * k * (below - above)
+    engaged = model.dof_limited * ((below > 0) | (above > 0))
+    d_diag = (
+        model.dof_damping
+        + model.dof_frictionloss / jnp.maximum(jnp.abs(qvel), 0.05)
+        + model.limit_damping * engaged
+    )
+    return tau, d_diag
+
+
+def _dof_positions(model: Model, qpos: jax.Array) -> jax.Array:
+    """Hinge angles aligned with dof indexing (free dofs get 0)."""
+    vals = []
+    for i in range(model.nbody):
+        if model.jnt_type[i] == JNT_FREE:
+            vals.extend([jnp.zeros((), dtype=qpos.dtype)] * 6)
+        elif model.jnt_type[i] == JNT_HINGE:
+            vals.append(qpos[model.body_qpos_adr[i]])
+    return jnp.stack(vals)
+
+
+def _terrain_height_normal(model: Model, terrain: Optional[Terrain], xy: jax.Array):
+    """Ground height and unit normal under world xy points (batched over the
+    leading axis of ``xy``)."""
+    if terrain is None:
+        h = jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
+        n = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], dtype=xy.dtype), xy.shape[:-1] + (3,)
+        )
+        return h, n
+    nrow, ncol = terrain.height.shape
+    sx, sy = model.hfield_size[0], model.hfield_size[1]
+    # grid spans [-sx, sx] x [-sy, sy]; row ~ y, col ~ x (MuJoCo layout)
+    fx = (xy[..., 0] + sx) / (2 * sx) * (ncol - 1)
+    fy = (xy[..., 1] + sy) / (2 * sy) * (nrow - 1)
+    fx = jnp.clip(fx, 0.0, ncol - 1.001)
+    fy = jnp.clip(fy, 0.0, nrow - 1.001)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - x0
+    ty = fy - y0
+    h00 = terrain.height[y0, x0]
+    h01 = terrain.height[y0, x0 + 1]
+    h10 = terrain.height[y0 + 1, x0]
+    h11 = terrain.height[y0 + 1, x0 + 1]
+    h = (
+        h00 * (1 - tx) * (1 - ty)
+        + h01 * tx * (1 - ty)
+        + h10 * (1 - tx) * ty
+        + h11 * tx * ty
+    )
+    dx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / (2 * sx / (ncol - 1))
+    dy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / (2 * sy / (nrow - 1))
+    n = jnp.stack([-dx, -dy, jnp.ones_like(dx)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return h, n
+
+
+def _contact_geometry(
+    model: Model,
+    xpos: jax.Array,
+    xquat: jax.Array,
+    terrain: Optional[Terrain],
+):
+    """Sphere-vs-(ground|static boxes) queries for every collision geom.
+
+    Returns (penetration (ng,), normal (ng,3), contact point (ng,3), R (nb,3,3)).
+    """
+    R = spatial.quat_to_mat(xquat)  # (nb,3,3)
+    gb = model.geom_body
+    centers = jnp.take(xpos, gb, axis=0) + jnp.einsum(
+        "gij,gj->gi", jnp.take(R, gb, axis=0), model.geom_pos
+    )
+    radius = model.geom_radius
+
+    h, n = _terrain_height_normal(model, terrain, centers[:, :2])
+    phi_g = (centers[:, 2] - h) * n[:, 2] - radius
+
+    if model.wbox_pos.shape[0] > 0:
+        rel = centers[:, None, :] - model.wbox_pos[None, :, :]  # (ng,nw,3)
+        clamped = jnp.clip(rel, -model.wbox_size[None], model.wbox_size[None])
+        delta = rel - clamped
+        dist = jnp.linalg.norm(delta, axis=-1)
+        inside = dist < 1e-9
+        n_box = jnp.where(
+            inside[..., None],
+            jnp.array([0.0, 0.0, 1.0], dtype=centers.dtype),
+            delta / jnp.maximum(dist, 1e-9)[..., None],
+        )
+        phi_box = jnp.where(inside, -model.wbox_size[None, :, 2], dist) - radius[:, None]
+        bi = jnp.argmin(phi_box, axis=1)
+        phi_b = jnp.take_along_axis(phi_box, bi[:, None], axis=1)[:, 0]
+        n_b = jnp.take_along_axis(n_box, bi[:, None, None], axis=1)[:, 0]
+        use_box = phi_b < phi_g
+        phi = jnp.where(use_box, phi_b, phi_g)
+        n = jnp.where(use_box[:, None], n_b, n)
+    else:
+        phi = phi_g
+
+    contact_pt = centers - n * radius[:, None]
+    return phi, n, contact_pt, R
+
+
+def contact_terms(
+    model: Model,
+    xpos: jax.Array,
+    xquat: jax.Array,
+    S: jax.Array,
+    V: jax.Array,
+    origin: jax.Array,
+    terrain: Optional[Terrain],
+):
+    """Contact spring forces + implicit damping operator.
+
+    The stiff parts of the soft contact (normal damper, Coulomb-friction
+    regularisation) are returned as a positive-semidefinite generalized
+    damping matrix ``D`` to be folded into an implicit velocity update
+    ``(M + dt D) v' = M v + dt f`` — unconditionally stable for the damper
+    terms at MuJoCo's 2 ms timestep while the (bounded) penetration spring
+    stays explicit.  This is the penalty-contact analogue of MuJoCo's
+    'implicitfast' integrator and is what makes a 500 Hz-equivalent
+    near-rigid contact (impratio=100, our_robot.xml:3) integrable in one
+    fused TPU kernel.
+
+    Returns (qfrc_spring (nv,), D (nv,nv), Contact diagnostics).
+    """
+    phi, n, contact_pt, R = _contact_geometry(model, xpos, xquat, terrain)
+    gb = model.geom_body
+    pt_rel = contact_pt - origin
+    Vg = jnp.take(V, gb, axis=0)
+    v_pt = Vg[:, 3:] + jnp.cross(Vg[:, :3], pt_rel)
+
+    pen = jnp.maximum(-phi, 0.0)
+    active = (phi < 0.0).astype(phi.dtype)
+    v_n = jnp.einsum("gi,gi->g", v_pt, n)
+    k, d = model.geom_stiffness, model.geom_damping
+    fn_spring = k * pen  # explicit, bounded by penetration
+
+    # point Jacobians (ng, nv, 3)
+    mask = jnp.take(model.ancestor_mask, gb, axis=0)
+    J = mask[:, :, None] * (
+        S[None, :, 3:] + jnp.cross(S[None, :, :3], pt_rel[:, None, :])
+    )
+
+    qfrc_spring = jnp.einsum("gvi,g,gi->v", J, fn_spring, n)
+
+    # implicit damping: normal damper (only while approaching or loaded) and
+    # tangential friction linearised about the current slip speed with
+    # saturation at mu*fn ( coefficient  mu fn / max(|vt|, eps) ).
+    v_t = v_pt - v_n[:, None] * n
+    vt_norm = jnp.sqrt(jnp.einsum("gi,gi->g", v_t, v_t) + 1e-12)
+    mu = model.geom_friction[:, 0]
+    eps = model.friction_smoothing
+    kappa_t = mu * fn_spring / jnp.maximum(vt_norm, eps)
+    d_n = d * active
+    # C_g = d_n n n^T + kappa_t (I - n n^T)   (3x3 PSD per geom)
+    eye = jnp.eye(3, dtype=phi.dtype)
+    nnT = jnp.einsum("gi,gj->gij", n, n)
+    C = (
+        d_n[:, None, None] * nnT
+        + (kappa_t * active)[:, None, None] * (eye[None] - nnT)
+    )
+    D = jnp.einsum("gvi,gij,gwj->vw", J, C, J)
+
+    # diagnostics with the saturated Coulomb model at the current velocity
+    fn_diag = jnp.maximum(fn_spring - d * v_n, 0.0) * active
+    f_t = -(mu * fn_diag / jnp.maximum(vt_norm, eps))[:, None] * v_t
+    force = fn_diag[:, None] * n + f_t
+    Rg = jnp.take(R, gb, axis=0)
+    contact = Contact(
+        force_world=force,
+        force_body=jnp.einsum("gji,gj->gi", Rg, force),
+        penetration=pen,
+        in_contact=(phi < 0.0) & (fn_diag > 0),
+    )
+    return qfrc_spring, D, contact
+
+
+# ---------------------------------------------------------------------------
+# Forward dynamics + integration
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    model: Model,
+    qpos: jax.Array,
+    qvel: jax.Array,
+    ctrl: jax.Array,
+    terrain: Optional[Terrain] = None,
+    dt: Optional[float] = None,
+):
+    """Forward dynamics with implicit-damping velocity update.
+
+    Solves  (M + dt D) v' = M v + dt f_explicit  where ``D`` collects the
+    stiff velocity-proportional terms (contact damper, friction
+    linearisation, joint damping/friction-loss).  Returns (qvel_next, aux).
+    """
+    if dt is None:
+        dt = model.timestep
+    xpos, xquat = fk(model, qpos)
+    origin = xpos[0]
+    S = motion_subspace(model, xpos, xquat, origin)
+    V = body_velocities(model, S, qvel)
+    I_O = _spatial_inertias(model, xpos, xquat, origin)
+
+    M = mass_matrix(model, S, I_O)
+    C = bias_forces(model, S, V, I_O, qvel)
+    qfrc_act = actuator_forces(model, qpos, qvel, ctrl)
+    tau_lim, d_diag = passive_terms(model, qpos, qvel)
+    qfrc_con, D_con, contact = contact_terms(
+        model, xpos, xquat, S, V, origin, terrain
+    )
+
+    f_explicit = qfrc_act + tau_lim + qfrc_con - C
+    A = M + dt * (D_con + jnp.diag(d_diag))
+    rhs = M @ qvel + dt * f_explicit
+    L = jax.scipy.linalg.cho_factor(A, lower=True)
+    qvel_next = jax.scipy.linalg.cho_solve(L, rhs)
+    return qvel_next, dict(
+        xpos=xpos, xquat=xquat, contact=contact, qfrc_actuator=qfrc_act,
+        mass_matrix=M,
+    )
+
+
+def integrate(model: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+    """Semi-implicit position update with exact quaternion integration."""
+    new_parts = []
+    for i in range(model.nbody):
+        adr = model.body_qpos_adr[i]
+        dadr = model.body_dof_adr[i]
+        if model.jnt_type[i] == JNT_FREE:
+            pos = qpos[adr : adr + 3] + dt * qvel[dadr : dadr + 3]
+            quat = spatial.quat_integrate(
+                qpos[adr + 3 : adr + 7], qvel[dadr + 3 : dadr + 6], dt
+            )
+            new_parts.append(pos)
+            new_parts.append(quat)
+        elif model.jnt_type[i] == JNT_HINGE:
+            new_parts.append(qpos[adr : adr + 1] + dt * qvel[dadr : dadr + 1])
+    return jnp.concatenate(new_parts)
+
+
+def step(
+    model: Model,
+    state: State,
+    ctrl: jax.Array,
+    terrain: Optional[Terrain] = None,
+    n_substeps: int = 1,
+) -> Tuple[State, StepInfo]:
+    """Advance ``n_substeps`` physics substeps of ``model.timestep`` under a
+    held control (MuJoCo ``frame_skip`` semantics — the reference steps 10
+    substeps per control at 50 Hz, ``environments/WalkEnvironment.py:36``,
+    and 50 per policy step in the sim2real stack, ``sim2real/train.py:156``)."""
+    dt = model.timestep
+
+    def substep(carry, _):
+        qpos, qvel = carry
+        qvel2, aux = forward(model, qpos, qvel, ctrl, terrain, dt)
+        qpos2 = integrate(model, qpos, qvel2, dt)
+        info = StepInfo(
+            contact=aux["contact"],
+            qfrc_actuator=aux["qfrc_actuator"],
+            qacc=(qvel2 - qvel) / dt,
+            xpos=aux["xpos"],
+            xquat=aux["xquat"],
+        )
+        return (qpos2, qvel2), info
+
+    (qpos, qvel), infos = jax.lax.scan(
+        substep, (state.qpos, state.qvel), None, length=n_substeps
+    )
+    last_info = jax.tree.map(lambda x: x[-1], infos)
+    return State(qpos=qpos, qvel=qvel, time=state.time + dt * n_substeps), last_info
+
+
+def foot_contact_summary(model: Model, contact: Contact):
+    """Aggregate per-geom contact into per-foot quantities.
+
+    Returns (force_world (nfeet,3), force_body (nfeet,3), in_contact (nfeet,))
+    matching the reference's per-paw contact extraction
+    (``walk_environment_reward_calc.py:318-370``)."""
+    feet = model.foot_body
+    gb = np.array(model.geom_body_static)
+    fw, fb, ic = [], [], []
+    for foot in feet:
+        sel = (gb == foot).astype(np.float32)
+        fw.append(jnp.einsum("g,gi->i", sel, contact.force_world))
+        fb.append(jnp.einsum("g,gi->i", sel, contact.force_body))
+        ic.append(jnp.max(jnp.where(gb == foot, contact.in_contact, False)))
+    return jnp.stack(fw), jnp.stack(fb), jnp.stack(ic)

@@ -1,0 +1,67 @@
+import numpy as np
+
+from opendog_tpu.assets import load_go1, load_opendog
+
+
+def test_opendog_sizes_and_addressing():
+    """Parity with the compiled reference model (our_robot.xml via MuJoCo:
+    nq=15, nv=14, nu=8, 13 movable bodies)."""
+    m = load_opendog("flat")
+    assert (m.nq, m.nv, m.nu, m.nbody) == (15, 14, 8, 13)
+    # actuator declaration order (our_robot.xml:99-111)
+    assert m.actuator_names == (
+        "FR_tigh_actuator", "FR_knee_actuator",
+        "BR_tigh_actuator", "BR_knee_actuator",
+        "FL_tigh_actuator", "FL_knee_actuator",
+        "BL_tigh_actuator", "BL_knee_actuator",
+    )
+    # dof addressing matches MuJoCo's compilation of the reference
+    assert list(np.asarray(m.actuator_dof)) == [8, 9, 12, 13, 6, 7, 10, 11]
+    assert list(np.asarray(m.actuator_qposadr)) == [9, 10, 13, 14, 7, 8, 11, 12]
+    # paw bodies are MuJoCo ids [4,7,10,13] minus the world body
+    assert m.foot_body == (3, 6, 9, 12)
+    np.testing.assert_allclose(np.asarray(m.dof_armature), 0.02)
+    np.testing.assert_allclose(np.asarray(m.dof_frictionloss), 0.1)
+
+
+def test_opendog_home_keyframe():
+    m = load_opendog("flat")
+    qpos = np.asarray(m.key_qpos[m.key_id("home")])
+    want = [0, 0, 0.2, 1, 0, 0, 0] + [2.35619, -1.5708] * 4
+    np.testing.assert_allclose(qpos, want, atol=1e-6)
+    ctrl = np.asarray(m.key_ctrl[0])
+    np.testing.assert_allclose(ctrl, [2.35619, -1.5708] * 4, atol=1e-6)
+
+
+def test_opendog_mass_matches_reference():
+    m = load_opendog("flat")
+    total = float(np.sum(np.asarray(m.body_mass)))
+    # 1.858 + 4 * (0.01377 + 0.01036 + 0.001)
+    assert abs(total - 1.95852) < 1e-5
+
+
+def test_go1_sizes():
+    m = load_go1("flat")
+    assert (m.nq, m.nv, m.nu, m.nbody) == (19, 18, 12, 13)
+    assert m.key_names == ("home", "descent")
+    assert abs(float(m.key_qpos[1][2]) - 0.6) < 1e-6  # descent (go1.xml:227)
+    # joint damping layout: hips 1, thighs/calves 2 (go1.xml:9-22)
+    d = np.asarray(m.dof_damping)
+    np.testing.assert_allclose(d[:6], 0.0)
+    np.testing.assert_allclose(d[6:], [1, 2, 2] * 4)
+    # foot sites present
+    for s in ("FR", "FL", "RR", "RL"):
+        assert s in m.site_names
+
+
+def test_go1_scene_boxes():
+    j = load_go1("jump")
+    np.testing.assert_allclose(np.asarray(j.wbox_pos), [[1.0, 0, 0.09]])
+    lnd = load_go1("landing")
+    np.testing.assert_allclose(np.asarray(lnd.wbox_size), [[0.4, 0.4, 0.2]])
+
+
+def test_terrain_scene_hfield():
+    m = load_opendog("terrain")
+    assert (m.hfield_nrow, m.hfield_ncol) == (100, 100)
+    np.testing.assert_allclose(np.asarray(m.hfield_size), [5.0, 5.0, 0.3, 0.001])
