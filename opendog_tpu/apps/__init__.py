@@ -1,0 +1,16 @@
+from .gaits import (  # noqa: F401
+    autocorrect_trot_cycle,
+    motor_bringup,
+    play_gait,
+    safe_shutdown,
+    stabilization_targets,
+    stabilize,
+    stance_vector,
+    walk_straight,
+)
+from .run_policy import (  # noqa: F401
+    action_to_target_degrees,
+    build_observation,
+    run_policy_loop,
+    VelocityEstimator,
+)

@@ -333,12 +333,20 @@ def _contact_geometry(
         delta = rel - clamped
         dist = jnp.linalg.norm(delta, axis=-1)
         inside = dist < 1e-9
+        # inside the box: nearest face gives penetration and normal
+        face_d = model.wbox_size[None] - jnp.abs(rel)  # (ng,nw,3) >=0 inside
+        ax = jnp.argmin(face_d, axis=-1)  # (ng,nw)
+        n_inside = (
+            jnp.sign(jnp.take_along_axis(rel, ax[..., None], axis=-1))
+            * jax.nn.one_hot(ax, 3, dtype=centers.dtype)
+        )
+        d_inside = jnp.take_along_axis(face_d, ax[..., None], axis=-1)[..., 0]
         n_box = jnp.where(
             inside[..., None],
-            jnp.array([0.0, 0.0, 1.0], dtype=centers.dtype),
+            n_inside,
             delta / jnp.maximum(dist, 1e-9)[..., None],
         )
-        phi_box = jnp.where(inside, -model.wbox_size[None, :, 2], dist) - radius[:, None]
+        phi_box = jnp.where(inside, -d_inside, dist) - radius[:, None]
         bi = jnp.argmin(phi_box, axis=1)
         phi_b = jnp.take_along_axis(phi_box, bi[:, None], axis=1)[:, 0]
         n_b = jnp.take_along_axis(n_box, bi[:, None, None], axis=1)[:, 0]

@@ -1,0 +1,276 @@
+"""iLQR / DDP — the shooting branch of the MPC engine (BASELINE.json
+config 3: whole-body MPC with a 1 s horizon, 1 Hz replan + 50 Hz tracking).
+
+TPU-first structure:
+  * dynamics linearisations A_t, B_t for the whole horizon come from one
+    ``vmap(jacfwd)`` over the rollout — H independent Jacobians batch onto
+    the MXU instead of a sequential AD sweep;
+  * the backward Riccati recursion is available in two modes:
+      - ``"scan"``         — classic sequential ``lax.scan`` (O(H) depth);
+      - ``"associative"``  — parallel-in-time value-function composition via
+        ``jax.lax.associative_scan`` (O(log H) depth).  This is the
+        sequence/context-parallel axis of this framework (SURVEY §2.8 SP/CP
+        row): long horizons shard over devices exactly like ring-attention
+        shards sequence length.
+  * the forward pass line-search evaluates all step sizes in parallel with
+    ``vmap`` and picks the best.
+
+State convention: x = [qpos; qvel] treated as Euclidean for linearisation
+(the free-joint quaternion is renormalised inside the dynamics, which keeps
+the local linearisation valid for the small per-step rotations of a 50 Hz
+loop).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..physics import State, Terrain, dynamics
+
+
+def associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+    """O(log H)-depth LQR backward pass via associative value-function
+    composition (see ``make_ilqr`` docstring).  Standalone so it can be
+    validated against the sequential recursion and reused by other solvers.
+
+    Returns (k (H, nu), K (H, nu, nx))."""
+    H, nx = A.shape[0], A.shape[1]
+    nu = B.shape[2]
+    eye_u = jnp.eye(nu)
+    R = luu + reg * eye_u[None]
+    Rinv = jax.vmap(jnp.linalg.inv)(R)
+    RinvM = jnp.einsum("huv,hvx->hux", Rinv, lux)
+    Rinvr = jnp.einsum("huv,hv->hu", Rinv, lu)
+    F = A - jnp.einsum("hxu,huy->hxy", B, RinvM)
+    c = -jnp.einsum("hxu,hu->hx", B, Rinvr)
+    C = jnp.einsum("hxu,huv,hyv->hxy", B, Rinv, B)
+    J = lxx - jnp.einsum("hux,huy->hxy", lux, RinvM)
+    eta = -(lx - jnp.einsum("hux,hu->hx", lux, Rinvr))
+
+    zf = jnp.zeros((1, nx, nx))
+    F_all = jnp.concatenate([F, zf], axis=0)
+    c_all = jnp.concatenate([c, jnp.zeros((1, nx))], axis=0)
+    C_all = jnp.concatenate([C, zf], axis=0)
+    eta_all = jnp.concatenate([eta, -vx[None]], axis=0)
+    J_all = jnp.concatenate([J, vxx[None]], axis=0)
+
+    def combine(earlier, later):
+        # batch-safe: associative_scan combines whole blocks at once, so
+        # every operand carries a leading batch axis
+        F1, c1, C1, n1, J1 = earlier
+        F2, c2, C2, n2, J2 = later
+        I = jnp.eye(nx)
+        mT = lambda M: jnp.swapaxes(M, -1, -2)
+        mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
+        A1 = I + C1 @ J2  # (..., nx, nx)
+        A2 = I + J2 @ C1
+        X = jnp.linalg.solve(A1, F1)
+        Y = jnp.linalg.solve(A1, C1)
+        Z = jnp.linalg.solve(A2, J2)
+        F12 = F2 @ X
+        c12 = mv(F2, jnp.linalg.solve(A1, (c1 + mv(C1, n2))[..., None])[..., 0]) + c2
+        C12 = F2 @ Y @ mT(F2) + C2
+        n12 = mv(mT(F1), jnp.linalg.solve(A2, (n2 - mv(J2, c1))[..., None])[..., 0]) + n1
+        J12 = mT(F1) @ Z @ F1 + J1
+        return (F12, c12, C12, n12, J12)
+
+    # reverse=True internally flips the sequence and runs a forward scan, so
+    # the callback's first argument is the *later-in-time* block: swap roles
+    # so the earlier element stays the outer operator.
+    comp = jax.lax.associative_scan(
+        lambda a, b: combine(b, a),
+        (F_all, c_all, C_all, eta_all, J_all),
+        reverse=True,
+    )
+    Vxx_next = comp[4][1:]
+    Vx_next = -comp[3][1:]
+
+    def gains(inp):
+        A_t, B_t, lu_t, luu_t, lux_t, Vx_n, Vxx_n = inp
+        Qu = lu_t + B_t.T @ Vx_n
+        Quu = luu_t + B_t.T @ Vxx_n @ B_t + reg * eye_u
+        Qux = lux_t + B_t.T @ Vxx_n @ A_t
+        L = jax.scipy.linalg.cho_factor(Quu, lower=True)
+        k = -jax.scipy.linalg.cho_solve(L, Qu)
+        K = -jax.scipy.linalg.cho_solve(L, Qux)
+        dV = k @ Qu + 0.5 * k @ (Quu @ k)
+        return k, K, dV
+
+    k, K, dV = jax.vmap(gains)((A, B, lu, luu, lux, Vx_next, Vxx_next))
+    return k, K
+
+
+class ILQRConfig(NamedTuple):
+    horizon: int = 50            # control steps
+    n_substeps: int = 4
+    rollout_dt: float = 0.005
+    iterations: int = 10
+    reg_init: float = 1e-3       # Levenberg-Marquardt regularisation
+    reg_factor: float = 10.0
+    reg_max: float = 1e6
+    line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)
+    riccati: str = "scan"        # "scan" | "associative"
+    u_cost_reg: float = 1e-3     # quadratic control regularisation added
+
+
+def make_ilqr(
+    model,
+    step_cost: Callable,  # (qpos, qvel, ctrl, prev_ctrl) -> scalar
+    config: ILQRConfig = ILQRConfig(),
+    terminal_cost: Optional[Callable] = None,
+    terrain: Optional[Terrain] = None,
+):
+    """Build ``solve(state, U_init) -> (U*, X*, stats)`` (jittable)."""
+    nq, nv, nu = model.nq, model.nv, model.nu
+    nx = nq + nv
+    rollout_model = (
+        model.replace(timestep=config.rollout_dt) if config.rollout_dt else model
+    )
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+
+    def pack(qpos, qvel):
+        return jnp.concatenate([qpos, qvel])
+
+    def unpack(x):
+        return x[:nq], x[nq:]
+
+    def f(x, u):
+        qpos, qvel = unpack(x)
+        st = State(qpos=qpos, qvel=qvel, time=jnp.zeros(()))
+        st2, _ = dynamics.step(
+            rollout_model, st, u, terrain, n_substeps=config.n_substeps
+        )
+        return pack(st2.qpos, st2.qvel)
+
+    def stage_cost(x, u, u_prev):
+        qpos, qvel = unpack(x)
+        return step_cost(qpos, qvel, u, u_prev) + config.u_cost_reg * jnp.sum(
+            jnp.square(u)
+        )
+
+    def term_cost(x):
+        qpos, qvel = unpack(x)
+        if terminal_cost is not None:
+            return terminal_cost(qpos, qvel)
+        return step_cost(qpos, qvel, jnp.zeros(nu), jnp.zeros(nu))
+
+    def rollout(x0, U):
+        def tick(x, u):
+            xn = f(x, u)
+            return xn, xn
+
+        _, X1 = jax.lax.scan(tick, x0, U)
+        return jnp.concatenate([x0[None], X1], axis=0)  # (H+1, nx)
+
+    def total_cost(X, U):
+        Uprev = jnp.concatenate([U[:1], U[:-1]], axis=0)
+        cs = jax.vmap(stage_cost)(X[:-1], U, Uprev)
+        return jnp.sum(cs) + term_cost(X[-1])
+
+    # ---------------- derivatives (batched over the horizon) -------------
+    dfdx = jax.vmap(jax.jacfwd(f, argnums=0))
+    dfdu = jax.vmap(jax.jacfwd(f, argnums=1))
+
+    def cost_expansion(X, U):
+        Uprev = jnp.concatenate([U[:1], U[:-1]], axis=0)
+        lx = jax.vmap(jax.grad(stage_cost, argnums=0))(X[:-1], U, Uprev)
+        lu = jax.vmap(jax.grad(stage_cost, argnums=1))(X[:-1], U, Uprev)
+        lxx = jax.vmap(jax.hessian(stage_cost, argnums=0))(X[:-1], U, Uprev)
+        luu = jax.vmap(jax.hessian(stage_cost, argnums=1))(X[:-1], U, Uprev)
+        lux = jax.vmap(
+            jax.jacfwd(jax.grad(stage_cost, argnums=1), argnums=0)
+        )(X[:-1], U, Uprev)
+        vx = jax.grad(term_cost)(X[-1])
+        vxx = jax.hessian(term_cost)(X[-1])
+        return lx, lu, lxx, luu, lux, vx, vxx
+
+    # ---------------- backward passes ------------------------------------
+    def backward_scan(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+        def bstep(carry, inp):
+            Vx, Vxx = carry
+            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+            Qx = lx_t + A_t.T @ Vx
+            Qu = lu_t + B_t.T @ Vx
+            Qxx = lxx_t + A_t.T @ Vxx @ A_t
+            Quu = luu_t + B_t.T @ Vxx @ B_t
+            Qux = lux_t + B_t.T @ Vxx @ A_t
+            Quu_reg = Quu + reg * jnp.eye(nu)
+            L = jax.scipy.linalg.cho_factor(Quu_reg, lower=True)
+            k = -jax.scipy.linalg.cho_solve(L, Qu)
+            K = -jax.scipy.linalg.cho_solve(L, Qux)
+            Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+            Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            dV = k @ Qu + 0.5 * k @ (Quu @ k)
+            return (Vx_new, Vxx_new), (k, K, dV)
+
+        (_, _), (k, K, dV) = jax.lax.scan(
+            bstep, (vx, vxx), (A, B, lx, lu, lxx, luu, lux), reverse=True
+        )
+        return k, K, jnp.sum(dV)
+
+    def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+        k, K = associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
+        # dV estimate for the acceptance logic (recomputed cheaply)
+        dV = jnp.sum(k * lu)
+        return k, K, dV
+
+    # ---------------- forward pass with parallel line search --------------
+    def forward(x0, X, U, k, K, alpha):
+        def tick(carry, inp):
+            x = carry
+            X_t, U_t, k_t, K_t = inp
+            u = U_t + alpha * k_t + K_t @ (x - X_t)
+            u = jnp.clip(u, lo, hi)
+            xn = f(x, u)
+            return xn, (xn, u)
+
+        _, (X1, Unew) = jax.lax.scan(tick, x0, (X[:-1], U, k, K))
+        Xnew = jnp.concatenate([x0[None], X1], axis=0)
+        return Xnew, Unew
+
+    def solve(state: State, U_init: jax.Array):
+        x0 = pack(state.qpos, state.qvel)
+
+        def iteration(carry, _):
+            U, cost, reg = carry
+            X = rollout(x0, U)
+            A = dfdx(X[:-1], U)
+            B = dfdu(X[:-1], U)
+            lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U)
+            backward = (
+                backward_associative
+                if config.riccati == "associative"
+                else backward_scan
+            )
+            k, K, dV = backward(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
+
+            alphas = jnp.asarray(config.line_search_alphas)
+            Xc, Uc = jax.vmap(lambda a: forward(x0, X, U, k, K, a))(alphas)
+            costs = jax.vmap(total_cost)(Xc, Uc)
+            best = jnp.argmin(costs)
+            improved = costs[best] < cost
+            U_next = jnp.where(improved, Uc[best], U)
+            cost_next = jnp.where(improved, costs[best], cost)
+            reg_next = jnp.where(
+                improved,
+                jnp.maximum(reg / config.reg_factor, 1e-9),
+                jnp.minimum(reg * config.reg_factor, config.reg_max),
+            )
+            return (U_next, cost_next, reg_next), cost_next
+
+        U0 = U_init
+        cost0 = total_cost(rollout(x0, U0), U0)
+        (U, cost, _), cost_trace = jax.lax.scan(
+            iteration, (U0, cost0, jnp.float32(config.reg_init)),
+            None, length=config.iterations,
+        )
+        X = rollout(x0, U)
+        return U, X, dict(cost=cost, initial_cost=cost0,
+                          cost_trace=cost_trace)
+
+    return solve

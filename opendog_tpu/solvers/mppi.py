@@ -1,0 +1,117 @@
+"""MPPI (Model Predictive Path Integral) solver — the sampling branch of the
+north-star MPC engine (BASELINE.json configs 2 and 4).
+
+TPU-first design: one solve is K vmapped rollouts of a ``lax.scan`` over the
+horizon, entirely on-device inside a single jitted function — thousands of
+batched rollouts per 50 Hz control tick.  The scenario axis (domain
+randomization / multi-env MPC) is an additional vmap/shard_map axis on top,
+which is how the solver scales across a mesh (SURVEY §2.8 DP row).
+
+Reference context: the reference has no MPC — its control is either a trained
+policy (``sim2real/run_robot.py``) or scripted gaits; this solver is the
+driver-mandated re-targeting of that control stack (BASELINE.json
+north_star).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..physics import State, Terrain, dynamics
+
+
+class MPPIConfig(NamedTuple):
+    horizon: int = 25          # control steps (0.5 s at 50 Hz)
+    num_samples: int = 256     # K rollouts per solve
+    temperature: float = 0.3   # softmax lambda
+    noise_sigma: float = 0.15  # exploration std in ctrl units [rad]
+    n_substeps: int = 4        # physics substeps per control step
+    rollout_dt: float = 0.0    # rollout physics dt; 0 -> model.timestep.
+    # Planning may integrate coarser than the plant (e.g. 5 ms vs 2 ms):
+    # horizon seconds = horizon * n_substeps * rollout_dt.
+    smooth_alpha: float = 0.6  # noise low-pass (colored exploration)
+    gamma: float = 1.0         # cost discount
+
+
+@struct.dataclass
+class MPPIState:
+    """Carried between solves: the shifted nominal control plan."""
+
+    nominal: jax.Array  # (H, nu)
+
+
+def init_state(model, config: MPPIConfig, key_name: str = "home") -> MPPIState:
+    ctrl0 = jnp.asarray(model.key_ctrl[model.key_id(key_name)])
+    return MPPIState(nominal=jnp.tile(ctrl0[None], (config.horizon, 1)))
+
+
+def make_solver(
+    model,
+    step_cost: Callable,
+    config: MPPIConfig = MPPIConfig(),
+    terminal_cost: Optional[Callable] = None,
+    terrain: Optional[Terrain] = None,
+):
+    """Build ``solve(physics_state, mppi_state, key) -> (ctrl, mppi_state',
+    stats)``.  Jit (or vmap for batched scenarios) the returned function."""
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    H, K, nu = config.horizon, config.num_samples, model.nu
+    rollout_model = (
+        model.replace(timestep=config.rollout_dt) if config.rollout_dt else model
+    )
+
+    def rollout_cost(state: State, ctrl_seq: jax.Array) -> jax.Array:
+        """Total cost of one control sequence (H, nu) from ``state``."""
+
+        def tick(carry, ctrl):
+            st, prev_ctrl, disc = carry
+            st2, _ = dynamics.step(
+                rollout_model, st, ctrl, terrain, n_substeps=config.n_substeps
+            )
+            c = step_cost(st2.qpos, st2.qvel, ctrl, prev_ctrl) * disc
+            return (st2, ctrl, disc * config.gamma), c
+
+        (final, _, _), costs = jax.lax.scan(
+            tick, (state, ctrl_seq[0], jnp.float32(1.0)), ctrl_seq
+        )
+        total = jnp.sum(costs)
+        if terminal_cost is not None:
+            total = total + terminal_cost(final.qpos, final.qvel)
+        return total
+
+    def solve(state: State, mppi: MPPIState, key: jax.Array):
+        eps = (
+            jax.random.normal(key, (K, H, nu), dtype=jnp.float32)
+            * config.noise_sigma
+        )
+        # colored (low-pass) exploration noise keeps the position servos from
+        # chattering — scan the smoothing along the horizon
+        def smooth(carry, e):
+            c = config.smooth_alpha * carry + (1 - config.smooth_alpha) * e
+            return c, c
+
+        eps = jax.lax.scan(smooth, jnp.zeros((K, nu)), eps.swapaxes(0, 1))[1]
+        eps = eps.swapaxes(0, 1)
+        candidates = jnp.clip(mppi.nominal[None] + eps, lo, hi)
+
+        costs = jax.vmap(rollout_cost, in_axes=(None, 0))(state, candidates)
+        beta = jnp.min(costs)
+        w = jax.nn.softmax(-(costs - beta) / config.temperature)
+        new_nominal = jnp.einsum("k,khu->hu", w, candidates)
+        ctrl = new_nominal[0]
+        # receding horizon: shift, repeat last
+        shifted = jnp.concatenate([new_nominal[1:], new_nominal[-1:]], axis=0)
+        stats = dict(
+            best_cost=beta,
+            mean_cost=jnp.mean(costs),
+            ess=1.0 / jnp.sum(jnp.square(w)),  # effective sample size
+        )
+        return ctrl, MPPIState(nominal=shifted), stats
+
+    return solve

@@ -1,0 +1,2 @@
+from .client import TelemetryClient  # noqa: F401
+from .server import TelemetryServer, simulation_packet  # noqa: F401

@@ -1,0 +1,83 @@
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_telemetry_server_client_roundtrip():
+    from opendog_tpu.telemetry import (
+        TelemetryClient,
+        TelemetryServer,
+        simulation_packet,
+    )
+
+    qpos = np.arange(15.0)
+    packet = simulation_packet(1.5, qpos, np.arange(14.0), np.ones(8),
+                               np.ones((4, 3)) * 2.0, ncon=4)
+    server = TelemetryServer(lambda: packet, host="127.0.0.1", port=0,
+                             rate_hz=60)
+    server.start_server()
+    client = TelemetryClient("127.0.0.1", server.port).connect()
+    got = None
+    for _ in range(20):
+        got = client.recv()
+        if got is not None:
+            break
+    server.stop()
+    client.close()
+    assert got is not None
+    # schema parity with wireless_comunication/server.py:108-118
+    assert set(got) == {"time", "qpos", "qvel", "ctrl", "contact_forces",
+                        "ncon"}
+    assert got["qpos"] == list(map(float, range(7)))
+    assert set(got["contact_forces"]) == {"FL", "FR", "BL", "BR"}
+    assert got["ncon"] == 4
+
+
+def test_checkpoint_full_state_roundtrip(tmp_path):
+    """Full-state checkpointing: params + opt state + env + RNG restore
+    bit-exactly (the capability the reference lacks, SURVEY §5)."""
+    from opendog_tpu.utils.checkpoint import Checkpointer
+
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "opt": {"mu": jnp.ones(3), "count": jnp.int32(7)},
+        "rng": jax.random.PRNGKey(42),
+        "step": jnp.int32(123),
+    }
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    assert ck.save(1, state)
+    restored = ck.restore(template=jax.tree.map(np.zeros_like, state))
+    for k in ("params", "opt", "rng", "step"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(restored[k])[0]),
+            np.asarray(jax.tree.leaves(state[k])[0]),
+        )
+    assert ck.latest_step() == 1
+    ck.close()
+
+
+def test_metrics_writer(tmp_path):
+    from opendog_tpu.utils.metrics import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+    w.write(1, {"reward": 1.5}, prefix="train")
+    w.write(2, {"reward": 2.5}, prefix="train")
+    w.close()
+    lines = [json.loads(l) for l in open(w.path)]
+    assert lines[0]["train/reward"] == 1.5
+    assert lines[1]["step"] == 2
+
+
+def test_config_tree_defaults():
+    from opendog_tpu.utils.config import DEFAULT
+
+    assert DEFAULT.robot.udp_port == 12345
+    assert DEFAULT.robot.counts_per_rev == 1975
+    assert DEFAULT.runtime.control_loop_hz == 12.5
+    assert DEFAULT.sb3.n_steps == 2048
+    assert DEFAULT.custom.initial_action_std == 0.4
+    assert DEFAULT.sym_walk.action_amplitude_deg == 40.0

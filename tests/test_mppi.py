@@ -1,0 +1,46 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from opendog_tpu.assets import load_go1, load_opendog
+from opendog_tpu.physics import make_state
+from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
+
+
+def test_mppi_standing_balance_opendog():
+    """BASELINE config 1: standing-balance hold via MPC keeps the robot
+    upright at its equilibrium height."""
+    m = load_opendog("flat")
+    cost = costs.standing_cost(
+        m, target_height=0.0694, home_joint_qpos=np.asarray(m.key_qpos[0])[7:]
+    )
+    cfg = MPPIConfig(horizon=8, num_samples=32, n_substeps=2,
+                     rollout_dt=0.004, noise_sigma=0.05)
+    init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10)
+    carry = init(jax.random.PRNGKey(0), make_state(m, "home"))
+    carry, traj = jax.jit(lambda c: run(c, 25))(carry)
+    z = np.asarray(traj["qpos"][:, 2])
+    assert abs(z[-1] - 0.0694) < 0.02, f"final height {z[-1]}"
+    quat = np.asarray(carry.plant.qpos[3:7])
+    assert abs(quat[0]) > 0.98  # still upright
+
+
+def test_mppi_tracking_moves_forward_go1():
+    """BASELINE config 2 (miniaturised): trot-tracking MPPI on the 12-DoF
+    Go1 produces sustained forward motion without falling."""
+    m = load_go1("flat")
+    p = costs.TrackingCostParams(desired_vel_xy=(0.4, 0.0),
+                                 target_height=0.265)
+    cost = costs.tracking_cost(m, p, np.asarray(m.key_qpos[0])[7:])
+    cfg = MPPIConfig(horizon=10, num_samples=48, n_substeps=2,
+                     rollout_dt=0.005, noise_sigma=0.12, temperature=0.2)
+    init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10)
+    carry = init(jax.random.PRNGKey(1), make_state(m, "home"))
+    carry, traj = jax.jit(lambda c: run(c, 50))(carry)  # 1 s of control
+    x = np.asarray(traj["qpos"][:, 0])
+    z = np.asarray(traj["qpos"][:, 2])
+    assert x[-1] > 0.05, f"no forward progress: x={x[-1]:.3f}"
+    assert np.all(z > 0.12), f"fell: min z {z.min():.3f}"
+    # effective sample size should show a non-degenerate distribution
+    ess = np.asarray(traj["ess"])
+    assert ess.mean() > 1.5
