@@ -49,17 +49,30 @@ def main():
     jax.block_until_ready(out["qpos"])
     compile_s = time.time() - t0
 
-    n = 200
+    # (a) host-in-the-loop latency: one tunnel-synced solve per tick — what
+    # a host-side robot bridge would observe
+    n = 100
     lat = np.zeros(n)
     for i in range(n):
         t0 = time.time()
         carry, out = jtick(carry)
         jax.block_until_ready(out["qpos"])
         lat[i] = time.time() - t0
-    solves_per_sec = 1.0 / lat.mean()
     p99_ms = float(np.percentile(lat, 99) * 1e3)
+
+    # (b) on-device control loop: the whole 50 Hz MPC loop scanned on-chip
+    # (the deployment mode for sim/training) — pure solve throughput
+    jrun = jax.jit(lambda c: run(c, 100))
+    carry2, traj = jrun(carry)
+    jax.block_until_ready(traj["qpos"])
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        carry2, traj = jrun(carry2)
+    jax.block_until_ready(traj["qpos"])
+    solves_per_sec = 100 * reps / (time.time() - t0)
     # sanity: the controlled robot should still be upright and moving
-    qpos = np.asarray(carry.plant.qpos)
+    qpos = np.asarray(carry2.plant.qpos)
     healthy = bool(0.12 < qpos[2] < 0.5)
 
     rollouts_per_tick = cfg.num_samples
@@ -68,8 +81,8 @@ def main():
         "value": round(float(solves_per_sec), 2),
         "unit": "solves/s/chip",
         "vs_baseline": round(float(solves_per_sec) / 50.0, 3),
-        "p99_latency_ms": round(p99_ms, 2),
-        "mean_latency_ms": round(float(lat.mean() * 1e3), 2),
+        "host_loop_p99_latency_ms": round(p99_ms, 2),
+        "host_loop_mean_latency_ms": round(float(lat.mean() * 1e3), 2),
         "rollouts_per_tick": rollouts_per_tick,
         "horizon_s": cfg.horizon * cfg.n_substeps * cfg.rollout_dt,
         "compile_s": round(compile_s, 1),

@@ -77,32 +77,69 @@ def _dof_ancestor_matrix(model: Model) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def fk(model: Model, qpos: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Forward kinematics: world body positions (nb,3) and quaternions (nb,4)."""
-    xpos, xquat = [], []
+def _tree_levels(model: Model):
+    """Static list of numpy body-index arrays grouped by tree depth.
+    Kinematic propagation runs one *batched* op-set per level instead of one
+    per body — the op-count (and TPU kernel-launch) win that makes the MPC
+    rollout fast: 4 levels instead of 13 sequential bodies for a quadruped."""
+    depth = {}
     for i in range(model.nbody):
-        adr = model.body_qpos_adr[i]
-        if model.jnt_type[i] == JNT_FREE:
-            xpos.append(qpos[adr : adr + 3])
-            xquat.append(spatial.quat_normalize(qpos[adr + 3 : adr + 7]))
+        p = model.body_parent[i]
+        depth[i] = 0 if p < 0 else depth[p] + 1
+    nlev = max(depth.values()) + 1
+    return [
+        np.array([i for i in range(model.nbody) if depth[i] == L],
+                 dtype=np.int32)
+        for L in range(nlev)
+    ]
+
+
+def fk(model: Model, qpos: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Forward kinematics: world body positions (nb,3) and quaternions (nb,4).
+
+    Level-parallel: all bodies at the same tree depth are transformed in one
+    batched op-set (their parents are already resolved)."""
+    nb = model.nbody
+    xpos = jnp.zeros((nb, 3), dtype=qpos.dtype)
+    xquat = jnp.zeros((nb, 4), dtype=qpos.dtype)
+    for idx in _tree_levels(model):
+        free_mask = np.array(
+            [model.jnt_type[i] == JNT_FREE for i in idx]
+        )
+        if free_mask.all():
+            adr = np.array([model.body_qpos_adr[i] for i in idx])
+            pos = jnp.stack([qpos[a : a + 3] for a in adr])
+            quat = spatial.quat_normalize(
+                jnp.stack([qpos[a + 3 : a + 7] for a in adr])
+            )
+            xpos = xpos.at[idx].set(pos)
+            xquat = xquat.at[idx].set(quat)
             continue
-        parent = model.body_parent[i]
-        if parent < 0:
-            pp = jnp.zeros(3, dtype=qpos.dtype)
-            pq = spatial.quat_identity(qpos.dtype)
+        assert not free_mask.any(), "mixed free/hinge level unsupported"
+        parents = np.array([model.body_parent[i] for i in idx])
+        if parents[0] < 0:  # hinge bodies welded at the world root
+            pp = jnp.zeros((len(idx), 3), dtype=qpos.dtype)
+            pq = jnp.broadcast_to(
+                spatial.quat_identity(qpos.dtype), (len(idx), 4)
+            )
         else:
-            pp, pq = xpos[parent], xquat[parent]
-        p = pp + spatial.quat_rotate(pq, model.body_pos[i])
-        q = spatial.quat_mul(pq, model.body_quat[i])
-        if model.jnt_type[i] == JNT_HINGE:
-            theta = qpos[adr]
-            qj = spatial.quat_from_axis_angle(model.jnt_axis[i], theta)
-            anchor = p + spatial.quat_rotate(q, model.jnt_pos[i])
+            pp = xpos[parents]
+            pq = xquat[parents]
+        p = pp + spatial.quat_rotate(pq, model.body_pos[idx])
+        q = spatial.quat_mul(pq, model.body_quat[idx])
+        hinge = np.array([model.jnt_type[i] == JNT_HINGE for i in idx])
+        if hinge.any():
+            adr = np.array([model.body_qpos_adr[i] for i in idx])
+            theta = qpos[adr] * hinge  # fixed bodies get theta 0
+            qj = spatial.quat_from_axis_angle(
+                jnp.asarray(model.jnt_axis[idx]), theta
+            )
+            anchor = p + spatial.quat_rotate(q, model.jnt_pos[idx])
             q = spatial.quat_mul(q, qj)
-            p = anchor - spatial.quat_rotate(q, model.jnt_pos[i])
-        xpos.append(p)
-        xquat.append(q)
-    return jnp.stack(xpos), jnp.stack(xquat)
+            p = anchor - spatial.quat_rotate(q, model.jnt_pos[idx])
+        xpos = xpos.at[idx].set(p)
+        xquat = xquat.at[idx].set(q)
+    return xpos, xquat
 
 
 def motion_subspace(
@@ -113,24 +150,34 @@ def motion_subspace(
     Free joint follows the MuJoCo convention: 3 translational dofs in world
     axes, then 3 rotational dofs as body-frame angular-velocity components
     (axes rotate with the body)."""
-    rows = []
     dtype = xpos.dtype
-    eye = jnp.eye(3, dtype=dtype)
-    zero3 = jnp.zeros(3, dtype=dtype)
-    for i in range(model.nbody):
-        if model.jnt_type[i] == JNT_FREE:
-            R = spatial.quat_to_mat(xquat[i])
-            p = xpos[i] - origin
-            for k in range(3):
-                rows.append(jnp.concatenate([zero3, eye[k]]))
-            for k in range(3):
-                a = R[:, k]
-                rows.append(jnp.concatenate([a, jnp.cross(p, a)]))
-        elif model.jnt_type[i] == JNT_HINGE:
-            a = spatial.quat_rotate(xquat[i], model.jnt_axis[i])
-            anchor = xpos[i] + spatial.quat_rotate(xquat[i], model.jnt_pos[i]) - origin
-            rows.append(jnp.concatenate([a, jnp.cross(anchor, a)]))
-    return jnp.stack(rows)
+    S = jnp.zeros((model.nv, 6), dtype=dtype)
+    free_bodies = [i for i in range(model.nbody)
+                   if model.jnt_type[i] == JNT_FREE]
+    for i in free_bodies:
+        d = model.body_dof_adr[i]
+        R = spatial.quat_to_mat(xquat[i])
+        p = xpos[i] - origin
+        trans = jnp.concatenate(
+            [jnp.zeros((3, 3), dtype), jnp.eye(3, dtype=dtype)], axis=1
+        )
+        rot = jnp.concatenate(
+            [R.T, jnp.cross(jnp.broadcast_to(p, (3, 3)), R.T)], axis=1
+        )
+        S = S.at[d : d + 3].set(trans).at[d + 3 : d + 6].set(rot)
+    hb = np.array([i for i in range(model.nbody)
+                   if model.jnt_type[i] == JNT_HINGE], dtype=np.int32)
+    if hb.size:
+        dofs = np.array([model.body_dof_adr[i] for i in hb], dtype=np.int32)
+        q = xquat[hb]
+        a = spatial.quat_rotate(q, jnp.asarray(model.jnt_axis[hb]))
+        anchor = xpos[hb] + spatial.quat_rotate(
+            q, jnp.asarray(model.jnt_pos[hb])
+        ) - origin
+        S = S.at[dofs].set(
+            jnp.concatenate([a, jnp.cross(anchor, a)], axis=-1)
+        )
+    return S
 
 
 def body_velocities(model: Model, S: jax.Array, qvel: jax.Array) -> jax.Array:
@@ -198,13 +245,18 @@ def bias_forces(
     vJ = (own_mask_np * qvel[None, :]) @ S  # (nb,6)
 
     # accelerations: a_i = a_parent + v_i x vJ_i ; a_base_frame = [0; -g]
-    g_acc = jnp.concatenate([jnp.zeros(3, dtype=V.dtype), -model.gravity])
-    a = [None] * model.nbody
-    for i in range(model.nbody):
-        parent = model.body_parent[i]
-        a_p = g_acc if parent < 0 else a[parent]
-        a[i] = a_p + spatial.motion_cross(V[i], vJ[i])
-    a = jnp.stack(a)  # (nb,6)
+    # (level-parallel: one batched op-set per tree depth)
+    g_acc = jnp.concatenate(
+        [jnp.zeros(3, dtype=V.dtype), -jnp.asarray(model.gravity)]
+    )
+    a = jnp.zeros((model.nbody, 6), dtype=V.dtype)
+    for idx in _tree_levels(model):
+        parents = np.array([model.body_parent[i] for i in idx])
+        if parents[0] < 0:  # root level
+            a_p = jnp.broadcast_to(g_acc, (len(idx), 6))
+        else:
+            a_p = a[parents]
+        a = a.at[idx].set(a_p + spatial.motion_cross(V[idx], vJ[idx]))
 
     f = jnp.einsum("bij,bj->bi", I_O, a) + spatial.force_cross(
         V, jnp.einsum("bij,bj->bi", I_O, V)
@@ -261,13 +313,13 @@ def passive_terms(model: Model, qpos: jax.Array, qvel: jax.Array):
 
 def _dof_positions(model: Model, qpos: jax.Array) -> jax.Array:
     """Hinge angles aligned with dof indexing (free dofs get 0)."""
-    vals = []
-    for i in range(model.nbody):
-        if model.jnt_type[i] == JNT_FREE:
-            vals.extend([jnp.zeros((), dtype=qpos.dtype)] * 6)
-        elif model.jnt_type[i] == JNT_HINGE:
-            vals.append(qpos[model.body_qpos_adr[i]])
-    return jnp.stack(vals)
+    hinge = [i for i in range(model.nbody) if model.jnt_type[i] == JNT_HINGE]
+    dofs = np.array([model.body_dof_adr[i] for i in hinge], dtype=np.int32)
+    adrs = np.array([model.body_qpos_adr[i] for i in hinge], dtype=np.int32)
+    out = jnp.zeros(model.nv, dtype=qpos.dtype)
+    if dofs.size:
+        out = out.at[dofs].set(qpos[adrs])
+    return out
 
 
 def _terrain_height_normal(model: Model, terrain: Optional[Terrain], xy: jax.Array):
@@ -525,10 +577,22 @@ def step(
         )
         return (qpos2, qvel2), info
 
-    (qpos, qvel), infos = jax.lax.scan(
-        substep, (state.qpos, state.qvel), None, length=n_substeps
-    )
-    last_info = jax.tree.map(lambda x: x[-1], infos)
+    if n_substeps <= 8:
+        # unroll short substep loops: removes per-iteration while-loop
+        # overhead, which dominates inside MPC rollouts (25 x 4 substeps of
+        # ~100 small fused kernels each)
+        carry = (state.qpos, state.qvel)
+        info = None
+        for _ in range(n_substeps):
+            carry, info = substep(carry, None)
+        qpos, qvel = carry
+        last_info = info
+    else:
+        (qpos, qvel), infos = jax.lax.scan(
+            substep, (state.qpos, state.qvel), None, length=n_substeps,
+            unroll=min(4, n_substeps),
+        )
+        last_info = jax.tree.map(lambda x: x[-1], infos)
     return State(qpos=qpos, qvel=qvel, time=state.time + dt * n_substeps), last_info
 
 

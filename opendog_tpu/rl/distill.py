@@ -1,0 +1,137 @@
+"""MPC → policy distillation (BASELINE.json config 5).
+
+The reference deploys either trained policies or scripted gaits; the
+driver's north star adds MPC-in-the-loop training: run the MPPI controller
+as the expert over batched (optionally domain-randomized) scenarios and
+regression-train a compact policy network on the visited (observation,
+expert-action) pairs — DAgger-style, with the student progressively driving
+the rollouts.  The distilled policy is deployable through the same
+``walk.json`` / on-robot 12.5 Hz pipeline as the reference's RL policies.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..physics import State, dynamics
+from ..solvers import mppi
+from . import networks
+
+
+class DistillConfig(NamedTuple):
+    num_scenarios: int = 8       # parallel MPC experts
+    rollout_ticks: int = 50      # expert ticks per round
+    rounds: int = 10
+    lr: float = 3e-4
+    batch_size: int = 256
+    epochs_per_round: int = 4
+    beta_decay: float = 0.7      # DAgger mixing: P(expert drives)
+
+
+@struct.dataclass
+class DistillState:
+    params: dict
+    opt_state: tuple
+    key: jax.Array
+
+
+def make_distiller(
+    model,
+    step_cost: Callable,
+    obs_fn: Callable,  # (qpos, qvel) -> observation vector
+    network,
+    mppi_config: mppi.MPPIConfig = mppi.MPPIConfig(),
+    config: DistillConfig = DistillConfig(),
+    plant_substeps: int = 10,
+):
+    """Returns (init, round_fn) where ``round_fn(dstate, plant_states) ->
+    (dstate, plant_states, metrics)`` runs one DAgger round: batched MPC
+    experts label every visited state; the student trains on the labels."""
+    solve = mppi.make_solver(model, step_cost, mppi_config)
+    tx = optax.adam(config.lr)
+    S = config.num_scenarios
+
+    def init(key, example_state: State):
+        k1, k2 = jax.random.split(key)
+        obs = obs_fn(example_state.qpos, example_state.qvel)
+        params = network.init(k1, obs[None])
+        return DistillState(params=params, opt_state=tx.init(params), key=k2)
+
+    def collect(dstate: DistillState, plants: State, mppi_states, beta):
+        """Scan expert-labeled rollouts across all scenarios."""
+
+        def tick(carry, _):
+            plants, mstates, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            expert_ctrl, mstates, _ = jax.vmap(solve)(
+                plants, mstates, jax.random.split(k1, S)
+            )
+            obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel)
+            student_ctrl = network.apply(dstate.params, obs)[0] \
+                if isinstance(network.apply(dstate.params, obs), tuple) \
+                else network.apply(dstate.params, obs)
+            drive_expert = jax.random.bernoulli(k2, beta, (S, 1))
+            ctrl = jnp.where(drive_expert, expert_ctrl, student_ctrl)
+            plants, _ = jax.vmap(
+                lambda s, c: dynamics.step(model, s, c, None,
+                                           n_substeps=plant_substeps)
+            )(plants, ctrl)
+            return (plants, mstates, key), (obs, expert_ctrl)
+
+        (plants, mppi_states, key), (obs, labels) = jax.lax.scan(
+            tick, (plants, mppi_states, dstate.key), None,
+            length=config.rollout_ticks,
+        )
+        return plants, mppi_states, key, obs.reshape(-1, obs.shape[-1]), \
+            labels.reshape(-1, labels.shape[-1])
+
+    def train_on(dstate: DistillState, obs, labels, key):
+        n = obs.shape[0]
+        mb = min(config.batch_size, n)
+
+        def epoch(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, n)[: (n // mb) * mb]
+            idxs = perm.reshape(-1, mb)
+
+            def mini(carry, idx):
+                params, opt_state = carry
+
+                def loss_fn(p):
+                    out = network.apply(p, obs[idx])
+                    pred = out[0] if isinstance(out, tuple) else out
+                    return jnp.mean(jnp.square(pred - labels[idx]))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mini, (params, opt_state), idxs
+            )
+            return (params, opt_state), losses.mean()
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (dstate.params, dstate.opt_state),
+            jax.random.split(key, config.epochs_per_round),
+        )
+        return dstate.replace(params=params, opt_state=opt_state), losses[-1]
+
+    def round_fn(dstate: DistillState, plants: State, round_idx: int):
+        beta = config.beta_decay ** round_idx
+        mppi_states = jax.vmap(lambda _: mppi.init_state(model, mppi_config))(
+            jnp.arange(S)
+        )
+        plants, _, key, obs, labels = collect(
+            dstate, plants, mppi_states, beta
+        )
+        key, sub = jax.random.split(key)
+        dstate, loss = train_on(dstate.replace(key=key), obs, labels, sub)
+        return dstate, plants, dict(distill_loss=loss, beta=beta)
+
+    return init, round_fn

@@ -78,7 +78,7 @@ def make_solver(
             return (st2, ctrl, disc * config.gamma), c
 
         (final, _, _), costs = jax.lax.scan(
-            tick, (state, ctrl_seq[0], jnp.float32(1.0)), ctrl_seq
+            tick, (state, ctrl_seq[0], jnp.float32(1.0)), ctrl_seq, unroll=2
         )
         total = jnp.sum(costs)
         if terminal_cost is not None:

@@ -1,0 +1,138 @@
+"""Training CLI — `python -m opendog_tpu.train <task>`.
+
+Reproduces both reference training entry points on the TPU-native stack:
+  * ``walk`` / ``turn`` / ``jump`` / ``landing`` — the SB3 PPO configuration
+    (clipped surrogate, lr 1e-4, n_steps 2048/env, batch 512, 10 epochs;
+    reference CLI `python -m train.train [walk|jump] --n_envs N`,
+    train/train.py:90-130) with vmapped on-device envs replacing
+    SubprocVecEnv workers;
+  * ``sym`` / ``terrain``   — the custom sim2real stack (plain-PG loss,
+    update each 2048 samples x 10 epochs, adaptive lr/entropy/action-std,
+    periodic checkpoint + walk.json export; sim2real/train.py:498-598).
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .assets import load_go1, load_opendog
+from .envs import (
+    JumpEnv,
+    LandingEnv,
+    SymWalkEnv,
+    TerrainWalkEnv,
+    TurnEnv,
+    WalkEnv,
+)
+from .rl import Hyper, MLPActorCritic, PPOConfig, make_ppo
+from .rl.adaptive import AdaptiveState
+from .sim2real import gait_json
+from .utils.checkpoint import Checkpointer
+from .utils.metrics import MetricsWriter
+
+TASKS = {
+    "walk": dict(model=lambda: load_opendog("flat"), env=WalkEnv,
+                 action_dim=8, hidden=(64, 64), squash=False, loss="clip"),
+    "turn": dict(model=lambda: load_opendog("flat"), env=TurnEnv,
+                 action_dim=8, hidden=(64, 64), squash=False, loss="clip"),
+    "jump": dict(model=lambda: load_go1("jump"), env=JumpEnv,
+                 action_dim=12, hidden=(64, 64), squash=False, loss="clip"),
+    "landing": dict(model=lambda: load_go1("landing"), env=LandingEnv,
+                    action_dim=12, hidden=(64, 64), squash=False,
+                    loss="clip"),
+    "sym": dict(model=lambda: load_opendog("flat"), env=SymWalkEnv,
+                action_dim=4, hidden=(512, 256), squash=True, loss="plain"),
+    "terrain": dict(model=lambda: load_opendog("terrain"),
+                    env=TerrainWalkEnv, action_dim=8, hidden=(1024, 512),
+                    squash=True, loss="plain"),
+}
+
+
+def train(
+    task: str = "walk",
+    n_envs: int = 16,
+    n_steps: int = 128,
+    total_chunks: int = 100,
+    out_dir: str = "runs",
+    seed: int = 0,
+    save_interval: int = 10,
+    minibatch_size: int = 512,
+    num_epochs: int = 10,
+):
+    spec = TASKS[task]
+    model = spec["model"]()
+    env = spec["env"](model)
+    net = MLPActorCritic(action_dim=spec["action_dim"],
+                         hidden=spec["hidden"],
+                         squash_mean=spec["squash"])
+    cfg = PPOConfig(
+        num_envs=n_envs, n_steps=n_steps, num_epochs=num_epochs,
+        minibatch_size=minibatch_size, loss=spec["loss"],
+    )
+    init, chunk = make_ppo(env, net, cfg)
+    state = init(jax.random.PRNGKey(seed))
+    jchunk = jax.jit(chunk)
+
+    run_dir = os.path.join(out_dir, f"{task}_{seed}")
+    writer = MetricsWriter(run_dir)
+    ck = Checkpointer(os.path.join(run_dir, "ckpt"))
+    adaptive = AdaptiveState()
+    use_adaptive = spec["loss"] == "plain"
+
+    for i in range(total_chunks):
+        hyper = Hyper(lr=jnp.float32(adaptive.lr),
+                      ent_coef=jnp.float32(adaptive.ent_coef))
+        t0 = time.time()
+        state, metrics = jchunk(state, hyper)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["steps_per_sec"] = n_envs * n_steps / (time.time() - t0)
+        writer.write(i, metrics, prefix="train")
+        if use_adaptive:
+            shift = adaptive.record_episode(metrics["sum_reward_per_env"])
+            if shift:
+                log_std = state.params["params"]["log_std"]
+                new = jnp.clip(
+                    log_std + shift, math.log(0.10), math.log(0.5)
+                )
+                state = state.replace(params=dict(
+                    params={**state.params["params"], "log_std": new}
+                ))
+        print(f"chunk {i}: reward/env {metrics['sum_reward_per_env']:.2f} "
+              f"lr {adaptive.lr:.1e}", flush=True)
+        if (i + 1) % save_interval == 0:
+            ck.save(i + 1, jax.device_get(state.params))
+            if task == "sym":
+                def policy(obs, _s=state):
+                    mean, _, _ = net.apply(_s.params, obs[None])
+                    return mean[0]
+                gait_json.generate_walk_json(
+                    policy, env,
+                    os.path.join(run_dir, f"walk_rl_sym_ep{i + 1}.json"),
+                )
+    ck.save(total_chunks, jax.device_get(state.params), force=True)
+    writer.close()
+    ck.close()
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("task", choices=sorted(TASKS))
+    p.add_argument("--n_envs", type=int, default=16)
+    p.add_argument("--n_steps", type=int, default=128)
+    p.add_argument("--chunks", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="runs")
+    args = p.parse_args()
+    train(args.task, n_envs=args.n_envs, n_steps=args.n_steps,
+          total_chunks=args.chunks, out_dir=args.out, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
