@@ -31,10 +31,11 @@ def main():
     from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
 
     model = load_go1("flat")
-    params = costs.TrackingCostParams(
+    params = costs.TrotCostParams(
         desired_vel_xy=(0.5, 0.0), target_height=0.265
     )
-    cost = costs.tracking_cost(model, params, np.asarray(model.key_qpos[0])[7:])
+    cost = costs.trot_cost(model, params, np.asarray(model.key_qpos[0])[7:],
+                           legs="go1")
     cfg = MPPIConfig(
         horizon=25, num_samples=256, n_substeps=4, rollout_dt=0.005,
         noise_sigma=0.12, temperature=0.2,

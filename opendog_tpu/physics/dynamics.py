@@ -57,6 +57,202 @@ def _body_ancestor_matrix(model: Model) -> np.ndarray:
     return A
 
 
+def _dof_ancestors(model: Model):
+    """Static per-dof ancestor dof lists (strictly above, excluding self),
+    ordered ascending.  Two dofs couple in the mass matrix iff one is an
+    ancestor of the other — the branch-induced sparsity that makes the
+    tree-sparse LTDL solve O(depth) instead of O(nv^3)."""
+    A = _body_ancestor_matrix(model)
+    anc = []
+    for j in range(model.nv):
+        bj = model.dof_body[j]
+        lst = [
+            i for i in range(model.nv)
+            if i != j and A[bj, model.dof_body[i]] and (
+                model.dof_body[i] != bj or i < j
+            )
+        ]
+        anc.append([i for i in lst if i < j])
+    return anc
+
+
+def tree_solve(model: Model, A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b exploiting branch-induced sparsity (MuJoCo's
+    mj_factorM/mj_solveM equivalent, unrolled over the static tree).
+
+    A must carry the tree sparsity pattern: A[i, j] == 0 unless dof i and j
+    lie on one root path.  For a quadruped this turns the dense (nv, nv)
+    Cholesky — the dominant cost of the batched substep on TPU — into
+    ~nv small scalar-vector ops.
+
+    LTDL factorization A = L' D L with unit-lower-triangular L sharing A's
+    sparsity; processed leaf-to-root (Featherstone ch. 8).
+    """
+    anc = _dof_ancestors(model)
+    nv = model.nv
+    # work on a dict of scalar entries to keep everything registers/vectors
+    H = {}
+    for j in range(nv):
+        for i in anc[j] + [j]:
+            H[(j, i)] = A[..., j, i]
+    # factorize: for k = nv-1..0: for i in anc(k): ...
+    for k in reversed(range(nv)):
+        dk = H[(k, k)]
+        for i in reversed(anc[k]):
+            a = H[(k, i)] / dk
+            for j in anc[k]:
+                if j <= i:
+                    H[(i, j)] = H.get((i, j), 0.0) - a * H[(k, j)]
+            H[(k, i)] = a
+    # solve L' D L x = b:  z = L'^-T b is leaf-to-root... standard order:
+    # x = L^-1 (D^-1 (L^-T b))
+    x = [b[..., j] for j in range(nv)]
+    # x <- L^-T x : for k = nv-1..0: for i in anc(k): x_i -= L[k,i] x_k
+    for k in reversed(range(nv)):
+        for i in anc[k]:
+            x[i] = x[i] - H[(k, i)] * x[k]
+    # x <- D^-1 x
+    for k in range(nv):
+        x[k] = x[k] / H[(k, k)]
+    # x <- L^-1 x : for k = 0..nv-1: x_k -= sum_i L[k,i] x_i
+    for k in range(nv):
+        for i in anc[k]:
+            x[k] = x[k] - H[(k, i)] * x[i]
+    return jnp.stack(x, axis=-1)
+
+
+def _arrow_structure(model: Model):
+    """Detect the quadruped block-arrow sparsity: a floating base (6 dofs)
+    plus G independent serial chains of equal length hanging off it.
+    Returns (base_dofs, chains (G, n) numpy) or None."""
+    if model.nbody == 0 or model.jnt_type[0] != JNT_FREE:
+        return None
+    base = list(range(6))
+    A = _body_ancestor_matrix(model)
+    # group non-base dofs by their root-child subtree
+    groups = {}
+    for j in range(6, model.nv):
+        b = model.dof_body[j]
+        # walk up to the child-of-base body
+        while model.body_parent[b] != 0:
+            b = model.body_parent[b]
+            if b < 0:
+                return None
+        groups.setdefault(b, []).append(j)
+    chains = list(groups.values())
+    if not chains:
+        return None
+    n = len(chains[0])
+    if any(len(c) != n for c in chains):
+        return None
+    # chains must be serial (each dof's body on one path) — guaranteed by
+    # construction of groups for our models; verify coupling denseness
+    return np.array(base), np.array(chains)
+
+
+def arrow_solve(model: Model, A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched solve of the implicit-dynamics system exploiting the
+    quadruped's block-arrow sparsity: legs only couple through the floating
+    base, so the dense (nv, nv) Cholesky — the dominant TPU cost of the
+    substep (measured ~60%) — reduces to G small leg factorizations + one
+    6x6 Schur solve, all as wide batched tensor ops.
+
+    A: (..., nv, nv) with the tree sparsity; b: (..., nv)."""
+    structure = _arrow_structure(model)
+    if structure is None:
+        L = jax.scipy.linalg.cho_factor(A, lower=True)
+        return jax.scipy.linalg.cho_solve(L, b)
+    base, chains = structure
+    G, n = chains.shape
+    batch = A.shape[:-2]
+
+    Abb = A[..., base[:, None], base[None, :]]               # (...,6,6)
+    Abl = A[..., base[:, None, None], chains[None, :, :]]    # (...,6,G,n)
+    All = A[..., chains[:, :, None], chains[:, None, :]]     # (...,G,n,n)
+    bl = b[..., chains]                                      # (...,G,n)
+    bb = b[..., base]                                        # (...,6)
+
+    # inverse of the (n, n) leg blocks, closed form for n <= 3
+    if n == 1:
+        All_inv = 1.0 / All
+    elif n == 2:
+        a_ = All[..., 0, 0]; b_ = All[..., 0, 1]
+        c_ = All[..., 1, 0]; d_ = All[..., 1, 1]
+        det = a_ * d_ - b_ * c_
+        All_inv = jnp.stack([
+            jnp.stack([d_, -b_], axis=-1),
+            jnp.stack([-c_, a_], axis=-1),
+        ], axis=-2) / det[..., None, None]
+    elif n == 3:
+        m = All
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02)
+        All_inv = jnp.stack([
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ], axis=-2) / det[..., None, None]
+    else:
+        L = jax.scipy.linalg.cho_factor(A, lower=True)
+        return jax.scipy.linalg.cho_solve(L, b)
+
+    # Schur complement on the base: S = Abb - sum_g Abl inv(All) Alb
+    AblInv = jnp.einsum("...igm,...gmn->...ign", Abl, All_inv)  # (...,6,G,n)
+    S = Abb - jnp.einsum("...ign,...jgn->...ij", AblInv, Abl)
+    yb = bb - jnp.einsum("...ign,...gn->...i", AblInv, bl)
+
+    # 6x6 SPD solve via unrolled Cholesky (static, ~18 fused vector ops)
+    xb = _chol_solve_unrolled(S, yb)
+
+    # back-substitute legs: x_l = inv(All) (b_l - Alb x_b)
+    rhs = bl - jnp.einsum("...ign,...i->...gn", Abl, xb)
+    xl = jnp.einsum("...gmn,...gn->...gm", All_inv, rhs)
+
+    x = jnp.zeros_like(b)
+    x = x.at[..., base].set(xb)
+    x = x.at[..., chains].set(xl)
+    return x
+
+
+def _chol_solve_unrolled(S: jax.Array, y: jax.Array) -> jax.Array:
+    """Unrolled Cholesky solve for small fixed m = S.shape[-1] (static)."""
+    m = S.shape[-1]
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = S[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(s)
+        for i in range(j + 1, m):
+            s = S[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / L[j][j]
+    # forward solve L z = y
+    z = [None] * m
+    for i in range(m):
+        s = y[..., i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    # back solve L^T x = z
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = z[i]
+        for k in range(i + 1, m):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _dof_ancestor_matrix(model: Model) -> np.ndarray:
     """D[i, j] = 1 if dof i belongs to an ancestor-or-self joint of dof j's
     body (i.e. M[i, j] is structurally nonzero with i above j)."""
@@ -94,51 +290,61 @@ def _tree_levels(model: Model):
     ]
 
 
+def _level_perm(model: Model):
+    """(levels, inverse permutation) mapping level-major concat -> body order."""
+    levels = _tree_levels(model)
+    order = np.concatenate(levels)
+    inv = np.argsort(order)
+    return levels, inv
+
+
 def fk(model: Model, qpos: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Forward kinematics: world body positions (nb,3) and quaternions (nb,4).
 
-    Level-parallel: all bodies at the same tree depth are transformed in one
-    batched op-set (their parents are already resolved)."""
-    nb = model.nbody
-    xpos = jnp.zeros((nb, 3), dtype=qpos.dtype)
-    xquat = jnp.zeros((nb, 4), dtype=qpos.dtype)
-    for idx in _tree_levels(model):
-        free_mask = np.array(
-            [model.jnt_type[i] == JNT_FREE for i in idx]
-        )
+    Level-parallel and scatter-free: each tree depth is one batched op-set
+    (parents gathered from the previous level's array), assembled at the end
+    with a single concat + static-permutation gather."""
+    levels, inv = _level_perm(model)
+    pos_levels, quat_levels = [], []
+    for L, idx in enumerate(levels):
+        free_mask = np.array([model.jnt_type[i] == JNT_FREE for i in idx])
         if free_mask.all():
             adr = np.array([model.body_qpos_adr[i] for i in idx])
-            pos = jnp.stack([qpos[a : a + 3] for a in adr])
-            quat = spatial.quat_normalize(
+            p = jnp.stack([qpos[a : a + 3] for a in adr])
+            q = spatial.quat_normalize(
                 jnp.stack([qpos[a + 3 : a + 7] for a in adr])
             )
-            xpos = xpos.at[idx].set(pos)
-            xquat = xquat.at[idx].set(quat)
-            continue
-        assert not free_mask.any(), "mixed free/hinge level unsupported"
-        parents = np.array([model.body_parent[i] for i in idx])
-        if parents[0] < 0:  # hinge bodies welded at the world root
-            pp = jnp.zeros((len(idx), 3), dtype=qpos.dtype)
-            pq = jnp.broadcast_to(
-                spatial.quat_identity(qpos.dtype), (len(idx), 4)
-            )
         else:
-            pp = xpos[parents]
-            pq = xquat[parents]
-        p = pp + spatial.quat_rotate(pq, model.body_pos[idx])
-        q = spatial.quat_mul(pq, model.body_quat[idx])
-        hinge = np.array([model.jnt_type[i] == JNT_HINGE for i in idx])
-        if hinge.any():
-            adr = np.array([model.body_qpos_adr[i] for i in idx])
-            theta = qpos[adr] * hinge  # fixed bodies get theta 0
-            qj = spatial.quat_from_axis_angle(
-                jnp.asarray(model.jnt_axis[idx]), theta
-            )
-            anchor = p + spatial.quat_rotate(q, model.jnt_pos[idx])
-            q = spatial.quat_mul(q, qj)
-            p = anchor - spatial.quat_rotate(q, model.jnt_pos[idx])
-        xpos = xpos.at[idx].set(p)
-        xquat = xquat.at[idx].set(q)
+            assert not free_mask.any(), "mixed free/hinge level unsupported"
+            parents = np.array([model.body_parent[i] for i in idx])
+            if parents[0] < 0:  # hinge bodies welded at the world root
+                pp = jnp.zeros((len(idx), 3), dtype=qpos.dtype)
+                pq = jnp.broadcast_to(
+                    spatial.quat_identity(qpos.dtype), (len(idx), 4)
+                )
+            else:
+                prev = levels[L - 1]
+                pos_in_prev = np.array(
+                    [int(np.where(prev == p_)[0][0]) for p_ in parents]
+                )
+                pp = pos_levels[L - 1][pos_in_prev]
+                pq = quat_levels[L - 1][pos_in_prev]
+            p = pp + spatial.quat_rotate(pq, model.body_pos[idx])
+            q = spatial.quat_mul(pq, model.body_quat[idx])
+            hinge = np.array([model.jnt_type[i] == JNT_HINGE for i in idx])
+            if hinge.any():
+                adr = np.array([model.body_qpos_adr[i] for i in idx])
+                theta = qpos[adr] * hinge
+                qj = spatial.quat_from_axis_angle(
+                    jnp.asarray(model.jnt_axis[idx]), theta
+                )
+                anchor = p + spatial.quat_rotate(q, model.jnt_pos[idx])
+                q = spatial.quat_mul(q, qj)
+                p = anchor - spatial.quat_rotate(q, model.jnt_pos[idx])
+        pos_levels.append(p)
+        quat_levels.append(q)
+    xpos = jnp.concatenate(pos_levels)[inv]
+    xquat = jnp.concatenate(quat_levels)[inv]
     return xpos, xquat
 
 
@@ -249,14 +455,20 @@ def bias_forces(
     g_acc = jnp.concatenate(
         [jnp.zeros(3, dtype=V.dtype), -jnp.asarray(model.gravity)]
     )
-    a = jnp.zeros((model.nbody, 6), dtype=V.dtype)
-    for idx in _tree_levels(model):
+    levels, inv = _level_perm(model)
+    a_levels = []
+    for L, idx in enumerate(levels):
         parents = np.array([model.body_parent[i] for i in idx])
         if parents[0] < 0:  # root level
             a_p = jnp.broadcast_to(g_acc, (len(idx), 6))
         else:
-            a_p = a[parents]
-        a = a.at[idx].set(a_p + spatial.motion_cross(V[idx], vJ[idx]))
+            prev = levels[L - 1]
+            pos_in_prev = np.array(
+                [int(np.where(prev == p_)[0][0]) for p_ in parents]
+            )
+            a_p = a_levels[L - 1][pos_in_prev]
+        a_levels.append(a_p + spatial.motion_cross(V[idx], vJ[idx]))
+    a = jnp.concatenate(a_levels)[inv]
 
     f = jnp.einsum("bij,bj->bi", I_O, a) + spatial.force_cross(
         V, jnp.einsum("bij,bj->bi", I_O, V)
@@ -441,11 +653,13 @@ def contact_terms(
     Vg = jnp.take(V, gb, axis=0)
     v_pt = Vg[:, 3:] + jnp.cross(Vg[:, :3], pt_rel)
 
-    pen = jnp.maximum(-phi, 0.0)
+    # penetration capped at 5 cm: keeps spring forces finite in f32 even
+    # when a fallen robot's geoms end up deep inside the ground/boxes
+    pen = jnp.clip(-phi, 0.0, 0.05)
     active = (phi < 0.0).astype(phi.dtype)
     v_n = jnp.einsum("gi,gi->g", v_pt, n)
     k, d = model.geom_stiffness, model.geom_damping
-    fn_spring = k * pen  # explicit, bounded by penetration
+    fn_spring = jnp.minimum(k * pen, 1e4)  # explicit, bounded
 
     # point Jacobians (ng, nv, 3)
     mask = jnp.take(model.ancestor_mask, gb, axis=0)
@@ -525,8 +739,7 @@ def forward(
     f_explicit = qfrc_act + tau_lim + qfrc_con - C
     A = M + dt * (D_con + jnp.diag(d_diag))
     rhs = M @ qvel + dt * f_explicit
-    L = jax.scipy.linalg.cho_factor(A, lower=True)
-    qvel_next = jax.scipy.linalg.cho_solve(L, rhs)
+    qvel_next = arrow_solve(model, A, rhs)
     return qvel_next, dict(
         xpos=xpos, xquat=xquat, contact=contact, qfrc_actuator=qfrc_act,
         mass_matrix=M,
@@ -567,6 +780,11 @@ def step(
     def substep(carry, _):
         qpos, qvel = carry
         qvel2, aux = forward(model, qpos, qvel, ctrl, terrain, dt)
+        # numerical firewall: physical robots never exceed these rates; the
+        # clamp stops a single bad contact event (deep penetration at a
+        # pathological pose) from cascading into f32 overflow/NaN during
+        # large batched rollouts
+        qvel2 = jnp.clip(qvel2, -1e3, 1e3)
         qpos2 = integrate(model, qpos, qvel2, dt)
         info = StepInfo(
             contact=aux["contact"],

@@ -79,6 +79,27 @@ def generate_walk_json(
     return len(rows)
 
 
+def transform_gait(
+    targets_deg: np.ndarray,
+    sign=None,
+    offset_deg=None,
+    names: Sequence[str] = ACTUATOR_NAMES_ORDERED,
+    invert: Sequence[str] = (),
+) -> np.ndarray:
+    """Per-channel sign/offset gait transformer (the examples/invert.py and
+    invertplay.py utilities generalised): ``invert`` lists actuator names
+    whose sign flips (invert.py:5-18 flips the front thigh channels);
+    ``sign``/``offset_deg`` apply elementwise."""
+    t = np.array(targets_deg, dtype=np.float64)
+    if sign is not None:
+        t = t * np.asarray(sign, dtype=np.float64)
+    if offset_deg is not None:
+        t = t + np.asarray(offset_deg, dtype=np.float64)
+    for n in invert:
+        t[:, list(names).index(n)] *= -1.0
+    return t
+
+
 def gait_to_sim_ctrl(model, durations, targets_deg):
     """Real-deg gait → per-step sim ctrl vectors in *model* actuator order
     with ctrlrange clamping (the inverse pipeline of sim2real/run.py)."""

@@ -146,17 +146,21 @@ def make_ilqr(
         )
         return pack(st2.qpos, st2.qvel)
 
-    def stage_cost(x, u, u_prev):
+    def _as_state(x):
         qpos, qvel = unpack(x)
-        return step_cost(qpos, qvel, u, u_prev) + config.u_cost_reg * jnp.sum(
+        # iLQR linearises over [qpos; qvel] only; time-/phase-dependent
+        # costs should bind their phase before entering iLQR
+        return State(qpos=qpos, qvel=qvel, time=jnp.zeros(()))
+
+    def stage_cost(x, u, u_prev):
+        return step_cost(_as_state(x), u, u_prev) + config.u_cost_reg * jnp.sum(
             jnp.square(u)
         )
 
     def term_cost(x):
-        qpos, qvel = unpack(x)
         if terminal_cost is not None:
-            return terminal_cost(qpos, qvel)
-        return step_cost(qpos, qvel, jnp.zeros(nu), jnp.zeros(nu))
+            return terminal_cost(_as_state(x))
+        return step_cost(_as_state(x), jnp.zeros(nu), jnp.zeros(nu))
 
     def rollout(x0, U):
         def tick(x, u):

@@ -74,7 +74,7 @@ def make_solver(
             st2, _ = dynamics.step(
                 rollout_model, st, ctrl, terrain, n_substeps=config.n_substeps
             )
-            c = step_cost(st2.qpos, st2.qvel, ctrl, prev_ctrl) * disc
+            c = step_cost(st2, ctrl, prev_ctrl) * disc
             return (st2, ctrl, disc * config.gamma), c
 
         (final, _, _), costs = jax.lax.scan(
@@ -82,7 +82,7 @@ def make_solver(
         )
         total = jnp.sum(costs)
         if terminal_cost is not None:
-            total = total + terminal_cost(final.qpos, final.qvel)
+            total = total + terminal_cost(final)
         return total
 
     def solve(state: State, mppi: MPPIState, key: jax.Array):
