@@ -37,8 +37,8 @@ def main():
     cost = costs.trot_cost(model, params, np.asarray(model.key_qpos[0])[7:],
                            legs="go1")
     cfg = MPPIConfig(
-        horizon=25, num_samples=256, n_substeps=4, rollout_dt=0.005,
-        noise_sigma=0.12, temperature=0.2,
+        horizon=25, num_samples=256, n_substeps=2, rollout_dt=0.01,
+        noise_sigma=0.12, temperature=0.3,
     )
     init, tick, run = make_mpc(model, cost, cfg, plant_substeps=10)
     carry = init(jax.random.PRNGKey(0), make_state(model, "home"))

@@ -179,6 +179,7 @@ def arrow_solve(model: Model, A: jax.Array, b: jax.Array) -> jax.Array:
         a_ = All[..., 0, 0]; b_ = All[..., 0, 1]
         c_ = All[..., 1, 0]; d_ = All[..., 1, 1]
         det = a_ * d_ - b_ * c_
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         All_inv = jnp.stack([
             jnp.stack([d_, -b_], axis=-1),
             jnp.stack([-c_, a_], axis=-1),
@@ -195,6 +196,7 @@ def arrow_solve(model: Model, A: jax.Array, b: jax.Array) -> jax.Array:
         c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
         c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
         det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02)
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         All_inv = jnp.stack([
             jnp.stack([c00, c10, c20], axis=-1),
             jnp.stack([c01, c11, c21], axis=-1),
@@ -230,7 +232,9 @@ def _chol_solve_unrolled(S: jax.Array, y: jax.Array) -> jax.Array:
         s = S[..., j, j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(s)
+        # f32 cancellation in extreme (already-fallen) states can push the
+        # pivot slightly negative; clamp instead of emitting NaN
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-9))
         for i in range(j + 1, m):
             s = S[..., i, j]
             for k in range(j):

@@ -101,6 +101,9 @@ def make_solver(
         candidates = jnp.clip(mppi.nominal[None] + eps, lo, hi)
 
         costs = jax.vmap(rollout_cost, in_axes=(None, 0))(state, candidates)
+        # diverged candidate rollouts (coarse planning dt) must not poison
+        # the softmax: treat non-finite costs as very bad, not NaN
+        costs = jnp.where(jnp.isfinite(costs), costs, 1e9)
         beta = jnp.min(costs)
         w = jax.nn.softmax(-(costs - beta) / config.temperature)
         new_nominal = jnp.einsum("k,khu->hu", w, candidates)

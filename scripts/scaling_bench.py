@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Multi-device scaling-efficiency harness (BASELINE.md: >=80% efficiency
+1 chip -> N).  Measures batched-env rollout throughput at several mesh sizes
+with the env batch sharded over the `dp` axis.
+
+On this image only one physical chip exists, so run against the virtual CPU
+mesh to validate the sharding path:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/scaling_bench.py
+On a pod slice it measures real ICI scaling.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs-per-device", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--device-counts", type=int, nargs="*", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opendog_tpu.assets import load_opendog
+    from opendog_tpu.envs import WalkEnv
+    from opendog_tpu.parallel import env_mesh
+
+    model = load_opendog("flat")
+    env = WalkEnv(model)
+    counts = args.device_counts or sorted(
+        {1, 2, len(jax.devices())} & set(range(1, len(jax.devices()) + 1))
+    )
+
+    def run(n_dev: int) -> float:
+        mesh = env_mesh(n_dev)
+        B = args.envs_per_device * n_dev
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        sh = NamedSharding(mesh, P("dp"))
+        keys = jax.device_put(keys, sh)
+        states, obs = jax.jit(jax.vmap(env.reset))(keys)
+        actions = jax.device_put(jnp.zeros((B, model.nu)), sh)
+
+        @jax.jit
+        def step_n(states):
+            def body(s, _):
+                s2, trans = jax.vmap(env.step)(s, actions)
+                return s2, trans.reward.sum()
+            return jax.lax.scan(body, states, None, length=args.steps)
+
+        states2, r = step_n(states)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        states2, r = step_n(states2)
+        _ = float(r[0])
+        dt = time.time() - t0
+        return B * args.steps / dt  # env-steps/sec
+
+    results = {}
+    base = None
+    for n in counts:
+        thr = run(n)
+        if base is None:
+            base = thr
+        eff = thr / (base * n)
+        results[str(n)] = dict(env_steps_per_sec=round(thr, 1),
+                               efficiency=round(eff, 3))
+        print(f"devices={n}: {thr:,.0f} env-steps/s  efficiency={eff:.1%}",
+              flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
