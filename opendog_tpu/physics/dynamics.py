@@ -744,6 +744,12 @@ def forward(
     A = M + dt * (D_con + jnp.diag(d_diag))
     rhs = M @ qvel + dt * f_explicit
     qvel_next = arrow_solve(model, A, rhs)
+    # firewall: a numerically failed solve (f32 overflow in a pathological
+    # pose) must not inject NaN into the carried state — keep the previous
+    # (clamped) velocity for that substep instead
+    qvel_next = jnp.where(
+        jnp.isfinite(qvel_next), qvel_next, jnp.clip(qvel, -1e3, 1e3)
+    )
     return qvel_next, dict(
         xpos=xpos, xquat=xquat, contact=contact, qfrc_actuator=qfrc_act,
         mass_matrix=M,

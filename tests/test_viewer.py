@@ -29,17 +29,21 @@ def test_sim_viewer_streams_telemetry():
         assert set(pkt) == {"time", "qpos", "qvel", "ctrl", "contact_forces",
                             "ncon"}
         assert len(pkt["qpos"]) == 7 and len(pkt["ctrl"]) == 8
-        # sim advances live
+        # sim advances live; poll until the dropped robot lands and the
+        # paws carry its weight
         t0 = pkt["time"]
-        time.sleep(0.3)
-        pkt2 = None
-        for _ in range(40):
-            pkt2 = client.recv()
-            if pkt2 is not None and pkt2["time"] > t0:
+        total_fz = 0.0
+        deadline = time.time() + 20.0
+        pkt2 = pkt
+        while time.time() < deadline:
+            nxt = client.recv()
+            if nxt is None:
+                continue
+            pkt2 = nxt
+            total_fz = sum(f[2] for f in pkt2["contact_forces"].values())
+            if pkt2["time"] > t0 and total_fz > 5.0:
                 break
         assert pkt2["time"] > t0
-        # standing robot reports paw contact forces
-        total_fz = sum(f[2] for f in pkt2["contact_forces"].values())
         assert total_fz > 5.0
         client.close()
     finally:
