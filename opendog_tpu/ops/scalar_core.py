@@ -541,7 +541,15 @@ def build_substep(model: Model, dt: float) -> Callable:
             rhs[i] = acc + dt * qfrc[i]
 
         x = _arrow_solve_scalar(Aent, rhs, base, chains, zero)
-        qvel_new = [min_(max_(xi, -1e3), 1e3) for xi in x]
+        # NaN firewall, mirroring dynamics.forward: a non-finite solve
+        # (degenerate contact state) falls back to the clipped previous
+        # velocity instead of poisoning the whole lane vector.
+        qvel_new = [
+            jnp.where(jnp.isfinite(xi),
+                      min_(max_(xi, -1e3), 1e3),
+                      min_(max_(qvel[i], -1e3), 1e3))
+            for i, xi in enumerate(x)
+        ]
 
         # ---------------- integrate ----------------
         qpos_new = list(qpos)

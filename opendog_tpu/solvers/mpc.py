@@ -37,6 +37,30 @@ def make_mpc(
     info), run(carry, n) -> (carry, traj))."""
     solve = mppi.make_solver(model, step_cost, config, terrain=terrain)
 
+    if config.engine == "pallas":
+        assert terrain is None, "pallas engine supports flat ground"
+        # Plant integrates through the fused kernel too: on TPU the
+        # op-graph path's default-precision MXU matmuls cost ~7e-3 qvel
+        # error per substep (vs 3e-6 for the fused f32 VPU kernel).
+        from ..ops.pallas_step import build_pallas_substep
+
+        plant_sub = build_pallas_substep(
+            model, float(model.timestep), k_tile=1,
+            n_substeps=plant_substeps,
+        )
+
+        def plant_step(st: State, ctrl):
+            qp, qv = plant_sub(st.qpos[:, None], st.qvel[:, None],
+                               ctrl[:, None])
+            t2 = st.time + plant_substeps * float(model.timestep)
+            return State(qpos=qp[:, 0], qvel=qv[:, 0], time=t2)
+    else:
+
+        def plant_step(st: State, ctrl):
+            st2, _ = dynamics.step(model, st, ctrl, terrain,
+                                   n_substeps=plant_substeps)
+            return st2
+
     def init(key, physics_state: State) -> MPCCarry:
         return MPCCarry(
             plant=physics_state,
@@ -47,9 +71,7 @@ def make_mpc(
     def tick(carry: MPCCarry):
         key, sub = jax.random.split(carry.key)
         ctrl, solver_state, stats = solve(carry.plant, carry.solver, sub)
-        plant, info = dynamics.step(
-            model, carry.plant, ctrl, terrain, n_substeps=plant_substeps
-        )
+        plant = plant_step(carry.plant, ctrl)
         out = dict(ctrl=ctrl, qpos=plant.qpos, qvel=plant.qvel, **stats)
         return MPCCarry(plant=plant, solver=solver_state, key=key), out
 

@@ -71,8 +71,10 @@ def main():
         p = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
                                  target_height=0.265)
         cost = costs.trot_cost(m, p, np.asarray(m.key_qpos[0])[7:])
+        engine = "pallas" if jax.default_backend() != "cpu" else "xla"
         cfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
-                         rollout_dt=0.01, noise_sigma=0.12, temperature=0.3)
+                         rollout_dt=0.01, noise_sigma=0.12, temperature=0.3,
+                         engine=engine)
         init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10)
         carry = init(jax.random.PRNGKey(0), make_state(m, "home"))
         jrun = jax.jit(lambda c: run(c, 100))
@@ -140,6 +142,59 @@ def main():
                env_ticks_per_sec=round(B * n / dt, 1),
                ticks_per_sec_per_env=round(n / dt, 2),
                meets_4096_per_tick=bool(B * n / dt >= 4096 * 50))
+
+        # fused-kernel variant of the same workload (TPU only)
+        if jax.default_backend() != "cpu":
+            from opendog_tpu.ops.pallas_step import build_pallas_substep
+
+            psub = build_pallas_substep(m, float(m.timestep), k_tile=256,
+                                        n_substeps=10)
+            qp = jnp.asarray(np.asarray(states.qpos).T)
+            qv = jnp.asarray(np.asarray(states.qvel).T)
+            ct = jnp.asarray(np.asarray(ctrls).T)
+            qp, qv = psub(qp, qv, ct); fetch(qp)
+            t0 = time.time()
+            for _ in range(n):
+                qp, qv = psub(qp, qv, ct)
+            fetch(qp)
+            dt = time.time() - t0
+            record("4b_batch4096_fused",
+                   env_ticks_per_sec=round(B * n / dt, 1),
+                   meets_4096_per_tick=bool(B * n / dt >= 4096 * 50))
+
+    # ---- config 5: one MPC->policy distillation round (mini config) ----
+    if "5" not in args.skip:
+        from opendog_tpu.rl.distill import DistillConfig, make_distiller
+        from opendog_tpu.rl.networks import MLPActorCritic
+
+        m = load_opendog("flat")
+        home_joints = np.asarray(m.key_qpos[0])[7:]
+        cost = costs.standing_cost(m, 0.065, home_joints)
+        obs_fn = lambda qp, qv: jnp.concatenate([qp[2:], qv])
+        net = MLPActorCritic(action_dim=m.nu, hidden=(64, 64))
+        dcfg = DistillConfig(num_scenarios=8, rollout_ticks=50,
+                             batch_size=64, epochs_per_round=4)
+        mcfg = MPPIConfig(horizon=10, num_samples=64, n_substeps=2,
+                          rollout_dt=0.01)
+        init, round_fn = make_distiller(m, cost, obs_fn, net,
+                                        mppi_config=mcfg, config=dcfg,
+                                        plant_substeps=10)
+        s0 = make_state(m, "home")
+        plants = State(qpos=jnp.tile(s0.qpos[None], (8, 1)),
+                       qvel=jnp.zeros((8, m.nv)), time=jnp.zeros(8))
+        dstate = init(jax.random.PRNGKey(0), s0)
+        jround = jax.jit(round_fn, static_argnums=2)
+        dstate, plants, metrics = jround(dstate, plants, 0)
+        fetch(metrics["distill_loss"])
+        t0 = time.time()
+        dstate, plants, metrics = jround(dstate, plants, 0)
+        loss = fetch(metrics["distill_loss"])
+        dt = time.time() - t0
+        record("5_distill_round",
+               round_seconds=round(dt, 2),
+               expert_labels_per_sec=round(8 * 50 / dt, 1),
+               distill_loss=round(loss, 4),
+               healthy=bool(np.isfinite(loss)))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

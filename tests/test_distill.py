@@ -1,0 +1,44 @@
+"""MPC -> policy distillation (DAgger) round.
+
+Reference deploys either trained policies or scripted gaits
+(sim2real/train.py, quadpilot/run_policy.py); the distiller adds the
+MPC-expert labeling loop on top of the same MPPI solver and network stack.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from opendog_tpu.assets import load_opendog
+from opendog_tpu.physics import State, make_state
+from opendog_tpu.rl.distill import DistillConfig, make_distiller
+from opendog_tpu.rl.networks import MLPActorCritic
+from opendog_tpu.solvers import MPPIConfig, costs
+
+
+def test_distill_round_trains_student():
+    m = load_opendog("flat")
+    home_joints = np.asarray(m.key_qpos[0])[7:]
+    cost = costs.standing_cost(m, 0.065, home_joints)
+    obs_fn = lambda qp, qv: jnp.concatenate([qp[2:], qv])
+    net = MLPActorCritic(action_dim=m.nu, hidden=(32, 32))
+    dcfg = DistillConfig(num_scenarios=2, rollout_ticks=3, rounds=1,
+                         batch_size=4, epochs_per_round=2)
+    mcfg = MPPIConfig(horizon=4, num_samples=8, n_substeps=1,
+                      rollout_dt=0.01)
+    init, round_fn = make_distiller(m, cost, obs_fn, net,
+                                    mppi_config=mcfg, config=dcfg,
+                                    plant_substeps=2)
+    s0 = make_state(m, "home")
+    plants = State(
+        qpos=jnp.tile(s0.qpos[None], (2, 1)),
+        qvel=jnp.zeros((2, m.nv)),
+        time=jnp.zeros(2),
+    )
+    dstate = init(jax.random.PRNGKey(0), s0)
+    before = jax.tree.leaves(dstate.params)[0].copy()
+    dstate, plants, metrics = jax.jit(round_fn, static_argnums=2)(
+        dstate, plants, 0)
+    assert np.isfinite(float(metrics["distill_loss"]))
+    assert float(metrics["beta"]) == 1.0
+    after = jax.tree.leaves(dstate.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
