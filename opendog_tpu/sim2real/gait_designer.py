@@ -108,17 +108,19 @@ def replay_gait(
 
     trunk, err = [], []
     qadr = np.asarray(model.actuator_qposadr)
+    # hoisted: one compile per chunk size for the whole replay (rebuilding
+    # these inside the loop re-traced every gait step)
+    step128 = jax.jit(
+        lambda s, c: dynamics.step(model, s, c, n_substeps=128)[0]
+    )
+    step1 = jax.jit(
+        lambda s, c: dynamics.step(model, s, c, n_substeps=1)[0]
+    )
     for dur, ctrl in zip(durations, ctrl_model):
         n = max(1, int(round(float(dur) / model.timestep)))
         cvec = jnp.asarray(ctrl)
         # chunked stepping keeps compile variants few (powers of two)
         remaining = n
-        step128 = jax.jit(
-            lambda s, c: dynamics.step(model, s, c, n_substeps=128)[0]
-        )
-        step1 = jax.jit(
-            lambda s, c: dynamics.step(model, s, c, n_substeps=1)[0]
-        )
         while remaining >= 128:
             state = step128(state, cvec)
             remaining -= 128

@@ -26,6 +26,10 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if step in (self._mgr.all_steps() or []):
+            # final forced save may coincide with a periodic one (e.g.
+            # total_chunks % save_interval == 0) — already durable, skip
+            return False
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

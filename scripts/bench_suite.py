@@ -175,7 +175,9 @@ def main():
         dcfg = DistillConfig(num_scenarios=8, rollout_ticks=50,
                              batch_size=64, epochs_per_round=4)
         mcfg = MPPIConfig(horizon=10, num_samples=64, n_substeps=2,
-                          rollout_dt=0.01)
+                          rollout_dt=0.01,
+                          engine=("pallas" if jax.default_backend() != "cpu"
+                                  else "xla"))
         init, round_fn = make_distiller(m, cost, obs_fn, net,
                                         mppi_config=mcfg, config=dcfg,
                                         plant_substeps=10)
