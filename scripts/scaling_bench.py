@@ -61,17 +61,27 @@ def main():
         dt = time.time() - t0
         return B * args.steps / dt  # env-steps/sec
 
-    results = {}
+    # Virtual host-platform devices share the same physical cores, so
+    # "efficiency" there measures core contention, not ICI scaling — the
+    # virtual-mesh run only validates that the sharded program compiles,
+    # executes, and keeps per-device shards (path validation).
+    virtual = jax.default_backend() == "cpu"
+    results = {"virtual_mesh": virtual}
     base = None
     for n in counts:
         thr = run(n)
         if base is None:
             base = thr
         eff = thr / (base * n)
-        results[str(n)] = dict(env_steps_per_sec=round(thr, 1),
-                               efficiency=round(eff, 3))
-        print(f"devices={n}: {thr:,.0f} env-steps/s  efficiency={eff:.1%}",
-              flush=True)
+        entry = dict(env_steps_per_sec=round(thr, 1))
+        if virtual:
+            entry["sharding_path_ok"] = True
+        else:
+            entry["efficiency"] = round(eff, 3)
+        results[str(n)] = entry
+        label = ("path-ok (virtual mesh, efficiency n/a)" if virtual
+                 else f"efficiency={eff:.1%}")
+        print(f"devices={n}: {thr:,.0f} env-steps/s  {label}", flush=True)
     print(json.dumps(results))
 
 
