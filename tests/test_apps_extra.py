@@ -126,3 +126,20 @@ def test_gait_designer_and_replay():
     assert sim_ctrl[1, i_flk] > home_frk  # extended (stance)
     # alternation
     assert sim_ctrl[2, i_flk] < sim_ctrl[1, i_flk]
+
+
+def test_depth_stream_and_normalize():
+    """Monocular depth loop (2d.py) with a synthetic predictor."""
+    import numpy as np
+    from opendog_tpu.apps import depth as depth_mod
+
+    frames = [np.zeros((4, 6, 3), np.uint8), np.ones((4, 6, 3), np.uint8)]
+    predictor = lambda f: f[..., 0].astype(np.float32) + np.arange(6)[None]
+    outs = list(depth_mod.depth_stream(frames, predictor))
+    assert len(outs) == 2
+    d, u8 = outs[0]
+    assert d.shape == (4, 6) and u8.dtype == np.uint8
+    assert u8.min() == 0 and u8.max() == 255
+    # constant depth map normalises to zeros, not NaN
+    flat = depth_mod.normalize_depth(np.full((3, 3), 7.0))
+    assert (flat == 0).all()
