@@ -89,6 +89,31 @@ def main():
                final_x=round(float(q[0]), 2),
                healthy=bool(0.12 < q[2] < 0.5))
 
+    # ---- config 2b: 4096 rollouts per tick (BASELINE rollout target) ----
+    if "2b" not in args.skip and jax.default_backend() != "cpu":
+        m = load_go1("flat")
+        p = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                 target_height=0.265)
+        cost = costs.trot_cost(m, p, np.asarray(m.key_qpos[0])[7:])
+        cfg = MPPIConfig(horizon=25, num_samples=4096, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.12, temperature=0.3,
+                         engine="pallas")
+        init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10)
+        carry = init(jax.random.PRNGKey(0), make_state(m, "home"))
+        jrun = jax.jit(lambda c: run(c, 100))
+        carry, traj = jrun(carry); fetch(traj["qpos"])
+        t0 = time.time()
+        carry, traj = jrun(carry)
+        fetch(traj["qpos"])
+        dt = time.time() - t0
+        q = np.asarray(carry.plant.qpos)
+        record("2b_trot_mppi_4096",
+               solves_per_sec=round(100 / dt, 1),
+               rollouts_per_tick=4096,
+               meets_50hz=bool(100 / dt >= 50.0),
+               final_x=round(float(q[0]), 2),
+               healthy=bool(0.12 < q[2] < 0.5))
+
     # ---- config 3: iLQR 1 Hz replan + 50 Hz tracking ----
     if "3" not in args.skip:
         m = load_go1("flat")
