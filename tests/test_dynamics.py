@@ -190,3 +190,47 @@ def test_cross_check_smooth_dynamics_vs_mujoco():
     # frictionloss modelling differs (constraint vs smooth) -> loose tolerance
     np.testing.assert_allclose(ours[7:], dd.qpos[7:], atol=0.05)
     np.testing.assert_allclose(ours[:3], dd.qpos[:3], atol=0.01)
+
+
+@pytest.mark.skipif(
+    not __import__("importlib").util.find_spec("mujoco"),
+    reason="mujoco oracle not available",
+)
+@pytest.mark.parametrize("robot", ["opendog", "go1"])
+def test_mass_matrix_matches_mujoco_fullM(robot):
+    """Oracle test on RANDOMIZED poses: CRBA must match mj_fullM entrywise.
+
+    Regression guard for the free-base double-count bug: same-body dof
+    pairs appear in both directions of the dof-ancestor mask, and the
+    symmetrizing assembly counted the base 6x6 off-diagonals twice — an
+    error invisible at settle equilibria (golden tests passed for weeks)
+    but 2x on the trans-rot coupling at any randomized pose."""
+    import mujoco
+
+    if robot == "opendog":
+        from opendog_tpu.assets.opendog import opendog_xml as xml_fn
+        m = load_opendog("flat")
+    else:
+        from opendog_tpu.assets.go1 import go1_xml as xml_fn
+        m = __import__("opendog_tpu.assets", fromlist=["load_go1"]).load_go1(
+            "flat")
+    mm = mujoco.MjModel.from_xml_string(xml_fn("flat"))
+    dd = mujoco.MjData(mm)
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        mujoco.mj_resetDataKeyframe(mm, dd, 0)
+        dd.qpos[:3] += rng.normal(0, 0.02, 3)
+        dd.qpos[7:] += rng.normal(0, 0.1, mm.nq - 7)
+        mujoco.mj_forward(mm, dd)
+        M_mj = np.zeros((mm.nv, mm.nv))
+        mujoco.mj_fullM(mm, dd, M_mj)
+
+        qp = jnp.asarray(dd.qpos, jnp.float32)
+        xpos, xquat = dynamics.fk(m, qp)
+        S = dynamics.motion_subspace(m, xpos, xquat, xpos[0])
+        I_O = dynamics._spatial_inertias(m, xpos, xquat, xpos[0])
+        M = np.asarray(dynamics.mass_matrix(m, S, I_O))
+        # common-origin coords differ from mujoco's joint coords only in
+        # the base rows/cols basis; armature diag is included in both
+        np.testing.assert_allclose(M, M_mj, atol=2e-4)
