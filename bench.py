@@ -88,6 +88,10 @@ def main():
         "vs_baseline": round(float(solves_per_sec) / 50.0, 3),
         "host_loop_p99_latency_ms": round(p99_ms, 2),
         "host_loop_mean_latency_ms": round(float(lat.mean() * 1e3), 2),
+        # deployment mode is the on-device scanned loop; host-loop numbers
+        # above are dominated by the axon tunnel RPC (~5 ms/roundtrip
+        # floor), not solve time
+        "on_device_solve_ms": round(1e3 / float(solves_per_sec), 3),
         "rollouts_per_tick": rollouts_per_tick,
         "horizon_s": cfg.horizon * cfg.n_substeps * cfg.rollout_dt,
         "compile_s": round(compile_s, 1),

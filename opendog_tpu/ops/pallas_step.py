@@ -32,26 +32,35 @@ def build_pallas_substep(
     k_tile: int = 256,
     n_substeps: int = 1,
     interpret: bool = False,
+    with_plane: bool = False,
 ):
-    """Returns ``step(qpos (nq, K), qvel (nv, K), ctrl (nu, K)) ->
-    (qpos', qvel')`` running ``n_substeps`` fused substeps per kernel
-    invocation."""
-    substep = scalar_core.build_substep(model, dt)
+    """Returns ``step(qpos (nq, K), qvel (nv, K), ctrl (nu, K)[, plane
+    (4, K)]) -> (qpos', qvel')`` running ``n_substeps`` fused substeps per
+    kernel invocation.  With ``with_plane=True`` each lane carries its own
+    contact plane (nx, ny, nz, d) — the local-plane terrain approximation
+    and per-scenario ground randomization hook."""
+    substep = scalar_core.build_substep(model, dt, with_plane=with_plane)
     nq, nv, nu = model.nq, model.nv, model.nu
 
-    def kernel(qpos_ref, qvel_ref, ctrl_ref, qpos_out, qvel_out):
+    def kernel(*refs):
+        if with_plane:
+            qpos_ref, qvel_ref, ctrl_ref, plane_ref, qpos_out, qvel_out = refs
+            plane = tuple(plane_ref[i, :] for i in range(4))
+        else:
+            qpos_ref, qvel_ref, ctrl_ref, qpos_out, qvel_out = refs
+            plane = None
         qp = tuple(qpos_ref[i, :] for i in range(nq))
         qv = tuple(qvel_ref[i, :] for i in range(nv))
         ct = tuple(ctrl_ref[i, :] for i in range(nu))
         for _ in range(n_substeps):
-            qp, qv = substep(qp, qv, ct)
+            qp, qv = substep(qp, qv, ct, plane)
         for i in range(nq):
             qpos_out[i, :] = qp[i]
         for i in range(nv):
             qvel_out[i, :] = qv[i]
 
     @jax.jit
-    def step(qpos, qvel, ctrl):
+    def step(qpos, qvel, ctrl, plane=None):
         K = qpos.shape[1]
         assert K % k_tile == 0, (K, k_tile)
         grid = (K // k_tile,)
@@ -59,20 +68,18 @@ def build_pallas_substep(
             jax.ShapeDtypeStruct((nq, K), qpos.dtype),
             jax.ShapeDtypeStruct((nv, K), qvel.dtype),
         )
-        in_specs = [
-            pl.BlockSpec((nq, k_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, k_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nu, k_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_specs = (
-            pl.BlockSpec((nq, k_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, k_tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        )
+
+        def spec(rows):
+            return pl.BlockSpec((rows, k_tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [spec(nq), spec(nv), spec(nu)]
+        args = [qpos, qvel, ctrl]
+        if with_plane:
+            assert plane is not None and plane.shape == (4, K)
+            in_specs.append(spec(4))
+            args.append(plane)
+        out_specs = (spec(nq), spec(nv))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -80,7 +87,7 @@ def build_pallas_substep(
             in_specs=in_specs,
             out_specs=out_specs,
             interpret=interpret,
-        )(qpos, qvel, ctrl)
+        )(*args)
 
     return step
 

@@ -205,11 +205,19 @@ def inertia_add(Ia, Ib):
 # ---------------------------------------------------------------------------
 
 
-def build_substep(model: Model, dt: float) -> Callable:
-    """Build ``substep(qpos_rows, qvel_rows, ctrl_rows) -> (qpos', qvel')``
-    operating on tuples of lane vectors.  All model constants are baked.
+def build_substep(model: Model, dt: float,
+                  with_plane: bool = False) -> Callable:
+    """Build ``substep(qpos_rows, qvel_rows, ctrl_rows[, plane_rows]) ->
+    (qpos', qvel')`` operating on tuples of lane vectors.  All model
+    constants are baked.
 
-    Requires the block-arrow structure and a plane-ground scene."""
+    Requires the block-arrow structure.  Ground is the plane z=0 by
+    default; with ``with_plane=True`` the substep takes an extra
+    ``plane = (nx, ny, nz, d)`` tuple of lane vectors describing a
+    per-lane contact plane {x : n.x = d} (n unit).  This is the
+    local-plane terrain approximation for fused terrain rollouts (the
+    exact bilinear-hfield contact stays on the op-graph path,
+    physics/dynamics.py:547)."""
     structure = dyn._arrow_structure(model)
     assert structure is not None, "scalar core needs the quadruped structure"
     base, chains = structure
@@ -278,9 +286,16 @@ def build_substep(model: Model, dt: float) -> Callable:
     def where_(c, a, b):
         return jnp.where(c, a, b)
 
-    def substep(qpos: Sequence, qvel: Sequence, ctrl: Sequence):
+    def substep(qpos: Sequence, qvel: Sequence, ctrl: Sequence,
+                plane: Sequence = None):
         zero = qpos[0] * 0.0
         one = zero + 1.0
+        if with_plane:
+            pn = (plane[0], plane[1], plane[2])
+            pd = plane[3]
+        else:
+            pn = (0.0, 0.0, 1.0)   # python-float constants: XLA folds
+            pd = 0.0
 
         # ---------------- FK ----------------
         xpos: List = [None] * nb
@@ -484,43 +499,83 @@ def build_substep(model: Model, dt: float) -> Callable:
             key = (i, j) if i <= j else (j, i)
             Dent[key] = Dent.get(key, zero) + val
 
+        def pdot(v, n):
+            """v . n where n components may be python-float constants;
+            zero terms are skipped at TRACE time so the default z=0 plane
+            emits exactly the old scalar graph (no mul-by-zero bloat)."""
+            acc = None
+            for vi, ni in zip(v, n):
+                if isinstance(ni, float):
+                    if ni == 0.0:
+                        continue
+                    term = vi if ni == 1.0 else vi * ni
+                else:
+                    term = vi * ni
+                acc = term if acc is None else acc + term
+            return zero if acc is None else acc
+
+        def pscale_sub(v, s, n):
+            """v - s*n with the same trace-time constant folding."""
+            out = []
+            for vi, ni in zip(v, n):
+                if isinstance(ni, float):
+                    if ni == 0.0:
+                        out.append(vi)
+                        continue
+                    out.append(vi - s if ni == 1.0 else vi - s * ni)
+                else:
+                    out.append(vi - s * ni)
+            return tuple(out)
+
         for g in range(model.ngeom):
             b = int(geom_body[g])
             center = v_add(
                 xpos[b], m3_apply(Rb[b], tuple(float(v) for v in geom_pos[g]))
             )
-            phi = center[2] - float(geom_radius[g])
+            phi = pdot(center, pn) - pd - float(geom_radius[g])
             pen = min_(max_(zero - phi, 0.0), 0.05)
             active = where_(phi < 0.0, one, zero)
             fn = min_(float(geom_k[g]) * pen, 1e4)
-            # contact point (directly below center)
-            pt = (center[0], center[1], center[2] - float(geom_radius[g]))
+            # contact point: sphere surface point along -n
+            pt = pscale_sub(center, float(geom_radius[g]), pn)
             r = v_sub(pt, origin)
             w, vo = V[b]
             vpt = v_add(vo, v_cross(w, r))
-            vt0, vt1 = vpt[0], vpt[1]
-            vt_norm = sqrt_(vt0 * vt0 + vt1 * vt1 + 1e-12)
+            if with_plane:
+                vn = pdot(vpt, pn)
+                vsq = (vpt[0] * vpt[0] + vpt[1] * vpt[1]
+                       + vpt[2] * vpt[2])
+                vt_norm = sqrt_(max_(vsq - vn * vn, 0.0) + 1e-12)
+            else:  # bit-identical to the validated flat kernel
+                vt_norm = sqrt_(vpt[0] * vpt[0] + vpt[1] * vpt[1] + 1e-12)
             kappa = float(geom_mu[g]) * fn / max_(vt_norm, fric_eps)
             dn = float(geom_d[g]) * active
             kap = kappa * active
             # J rows for the ancestor dofs: Jj = S_lin + S_ang x r
             dofs = body_dofs[b]
             Jr = {}
+            Jn = {}
             for j in dofs:
                 sa, sl = S[j]
                 Jr[j] = v_add(sl, v_cross(sa, r))
-            # qfrc += J^T (fn * n)  with n = +z
+                Jn[j] = pdot(Jr[j], pn)
+            # qfrc += J^T (fn * n)
             for j in dofs:
-                qfrc[j] = qfrc[j] + Jr[j][2] * (fn * active)
-            # D += dn * (J.n)(J.n)^T + kap * (Jx Jx^T + Jy Jy^T)
+                qfrc[j] = qfrc[j] + Jn[j] * (fn * active)
+            # D += dn (J.n)(J.n)^T + kap (J J^T - (J.n)(J.n)^T)
+            # (tangential friction damping acts on the (I - nn^T) plane)
             for ii, j1 in enumerate(dofs):
                 for j2 in dofs[ii:]:
-                    dent_add(
-                        j1, j2,
-                        dn * Jr[j1][2] * Jr[j2][2]
-                        + kap * (Jr[j1][0] * Jr[j2][0]
-                                 + Jr[j1][1] * Jr[j2][1]),
-                    )
+                    if with_plane:
+                        jj = (Jr[j1][0] * Jr[j2][0] + Jr[j1][1] * Jr[j2][1]
+                              + Jr[j1][2] * Jr[j2][2])
+                        val = (dn * Jn[j1] * Jn[j2]
+                               + kap * (jj - Jn[j1] * Jn[j2]))
+                    else:  # bit-identical flat-kernel form
+                        val = (dn * Jr[j1][2] * Jr[j2][2]
+                               + kap * (Jr[j1][0] * Jr[j2][0]
+                                        + Jr[j1][1] * Jr[j2][1]))
+                    dent_add(j1, j2, val)
 
         # ---------------- assemble A = M + dt (D + diag) and solve -------
         Aent = {}

@@ -37,8 +37,7 @@ def make_mpc(
     info), run(carry, n) -> (carry, traj))."""
     solve = mppi.make_solver(model, step_cost, config, terrain=terrain)
 
-    if config.engine == "pallas":
-        assert terrain is None, "pallas engine supports flat ground"
+    if config.engine == "pallas" and terrain is None:
         # Plant integrates through the fused kernel too: on TPU the
         # op-graph path's default-precision MXU matmuls cost ~7e-3 qvel
         # error per substep (vs 3e-6 for the fused f32 VPU kernel).

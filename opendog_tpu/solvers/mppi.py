@@ -92,14 +92,28 @@ def make_solver(
         return total
 
     if config.engine == "pallas":
-        assert terrain is None, "pallas rollout engine supports flat ground"
         from ..ops.pallas_step import build_pallas_substep
 
         k_tile = K if K < 256 else 256
         psub = build_pallas_substep(
             rollout_model, float(rollout_model.timestep),
             k_tile=k_tile, n_substeps=config.n_substeps,
+            with_plane=terrain is not None,
         )
+
+    def _local_plane(state: State) -> jax.Array:
+        """(4, K) per-lane contact plane: the terrain's tangent plane at
+        the plant position — the local-plane approximation that keeps
+        terrain rollouts on the fused kernel (exact bilinear contact
+        remains on the plant/op-graph path)."""
+        h, n = dynamics._terrain_height_normal(
+            rollout_model, terrain, state.qpos[None, :2]
+        )
+        n = n[0]
+        p0 = jnp.array([state.qpos[0], state.qpos[1], h[0]])
+        d = jnp.dot(n, p0)
+        row = jnp.concatenate([n, d[None]])  # (4,)
+        return jnp.tile(row[:, None], (1, K))
 
     def rollout_costs_pallas(state: State, candidates: jax.Array):
         """All-K rollout via the fused kernel: carry is the (rows, K) lane
@@ -107,10 +121,14 @@ def make_solver(
         qp0 = jnp.tile(state.qpos[:, None], (1, K))
         qv0 = jnp.tile(state.qvel[:, None], (1, K))
         dt_tick = float(rollout_model.timestep) * config.n_substeps
+        plane = _local_plane(state) if terrain is not None else None
 
         def tick(carry, ctrl):  # ctrl (K, nu)
             qp, qv, prev_ctrl, t, disc = carry
-            qp2, qv2 = psub(qp, qv, ctrl.T)
+            if terrain is not None:
+                qp2, qv2 = psub(qp, qv, ctrl.T, plane)
+            else:
+                qp2, qv2 = psub(qp, qv, ctrl.T)
             t2 = t + dt_tick
             st = State(qpos=qp2.T, qvel=qv2.T,
                        time=jnp.full((K,), t2, jnp.float32))

@@ -110,3 +110,30 @@ def test_mppi_pallas_engine_interpret():
     np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0], atol=1e-3)
     assert abs(outs["pallas"][1] - outs["xla"][1]) < 1e-2 * (
         1.0 + abs(outs["xla"][1]))
+
+
+@slow
+def test_plane_kernel_matches_flat_at_z0():
+    """with_plane=True fed the canonical z=0 plane must reproduce the
+    flat kernel; a raised plane (d>0) must change the contact response."""
+    from opendog_tpu.ops.pallas_step import build_pallas_substep
+
+    m = load_go1("flat")
+    K = 8
+    qpos, qvel, ctrl = _random_batch(m, K)
+    qp, qv, ct = (jnp.asarray(qpos.T), jnp.asarray(qvel.T),
+                  jnp.asarray(ctrl.T))
+    flat = build_pallas_substep(m, m.timestep, k_tile=K, interpret=True)
+    planar = build_pallas_substep(m, m.timestep, k_tile=K, interpret=True,
+                                  with_plane=True)
+    z0 = jnp.tile(jnp.array([0.0, 0.0, 1.0, 0.0])[:, None], (1, K))
+    qp_f, qv_f = flat(qp, qv, ct)
+    qp_p, qv_p = planar(qp, qv, ct, z0)
+    np.testing.assert_allclose(np.asarray(qv_p), np.asarray(qv_f), atol=1e-5)
+
+    # ground lowered 0.5 m below the feet: all contacts release -> the
+    # base accelerates downward (gravity only) vs. the supported case
+    lowered = jnp.tile(jnp.array([0.0, 0.0, 1.0, -0.5])[:, None], (1, K))
+    _, qv_r = planar(qp, qv, ct, lowered)
+    assert float(np.asarray(qv_r)[2].mean()) < float(
+        np.asarray(qv_f)[2].mean()) - 1e-3
