@@ -33,34 +33,44 @@ def build_pallas_substep(
     n_substeps: int = 1,
     interpret: bool = False,
     with_plane: bool = False,
+    with_payload: bool = False,
 ):
     """Returns ``step(qpos (nq, K), qvel (nv, K), ctrl (nu, K)[, plane
-    (4, K)]) -> (qpos', qvel')`` running ``n_substeps`` fused substeps per
-    kernel invocation.  With ``with_plane=True`` each lane carries its own
-    contact plane (nx, ny, nz, d) — the local-plane terrain approximation
-    and per-scenario ground randomization hook."""
-    substep = scalar_core.build_substep(model, dt, with_plane=with_plane)
+    (4, K)][, payload (1, K)]) -> (qpos', qvel')`` running ``n_substeps``
+    fused substeps per kernel invocation.  With ``with_plane=True`` each
+    lane carries its own contact plane (nx, ny, nz, d) — the local-plane
+    terrain approximation and per-scenario ground randomization hook.
+    With ``with_payload=True`` each lane carries a payload mass [kg]
+    rigidly attached at the trunk origin."""
+    substep = scalar_core.build_substep(model, dt, with_plane=with_plane,
+                                        with_payload=with_payload)
     nq, nv, nu = model.nq, model.nv, model.nu
 
     def kernel(*refs):
+        refs = list(refs)
+        qpos_ref = refs.pop(0)
+        qvel_ref = refs.pop(0)
+        ctrl_ref = refs.pop(0)
+        plane = None
+        payload = None
         if with_plane:
-            qpos_ref, qvel_ref, ctrl_ref, plane_ref, qpos_out, qvel_out = refs
+            plane_ref = refs.pop(0)
             plane = tuple(plane_ref[i, :] for i in range(4))
-        else:
-            qpos_ref, qvel_ref, ctrl_ref, qpos_out, qvel_out = refs
-            plane = None
+        if with_payload:
+            payload = refs.pop(0)[0, :]
+        qpos_out, qvel_out = refs
         qp = tuple(qpos_ref[i, :] for i in range(nq))
         qv = tuple(qvel_ref[i, :] for i in range(nv))
         ct = tuple(ctrl_ref[i, :] for i in range(nu))
         for _ in range(n_substeps):
-            qp, qv = substep(qp, qv, ct, plane)
+            qp, qv = substep(qp, qv, ct, plane, payload)
         for i in range(nq):
             qpos_out[i, :] = qp[i]
         for i in range(nv):
             qvel_out[i, :] = qv[i]
 
     @jax.jit
-    def step(qpos, qvel, ctrl, plane=None):
+    def step(qpos, qvel, ctrl, plane=None, payload=None):
         K = qpos.shape[1]
         assert K % k_tile == 0, (K, k_tile)
         grid = (K // k_tile,)
@@ -79,6 +89,10 @@ def build_pallas_substep(
             assert plane is not None and plane.shape == (4, K)
             in_specs.append(spec(4))
             args.append(plane)
+        if with_payload:
+            assert payload is not None and payload.shape == (1, K)
+            in_specs.append(spec(1))
+            args.append(payload)
         out_specs = (spec(nq), spec(nv))
         return pl.pallas_call(
             kernel,

@@ -206,10 +206,11 @@ def inertia_add(Ia, Ib):
 
 
 def build_substep(model: Model, dt: float,
-                  with_plane: bool = False) -> Callable:
-    """Build ``substep(qpos_rows, qvel_rows, ctrl_rows[, plane_rows]) ->
-    (qpos', qvel')`` operating on tuples of lane vectors.  All model
-    constants are baked.
+                  with_plane: bool = False,
+                  with_payload: bool = False) -> Callable:
+    """Build ``substep(qpos_rows, qvel_rows, ctrl_rows[, plane_rows,
+    payload_row]) -> (qpos', qvel')`` operating on tuples of lane vectors.
+    All model constants are baked.
 
     Requires the block-arrow structure.  Ground is the plane z=0 by
     default; with ``with_plane=True`` the substep takes an extra
@@ -217,7 +218,10 @@ def build_substep(model: Model, dt: float,
     per-lane contact plane {x : n.x = d} (n unit).  This is the
     local-plane terrain approximation for fused terrain rollouts (the
     exact bilinear-hfield contact stays on the op-graph path,
-    physics/dynamics.py:547)."""
+    physics/dynamics.py:547).  With ``with_payload=True`` an extra lane
+    vector carries a per-scenario payload mass [kg] — a point mass rigidly
+    attached at the trunk origin (domain randomization over carried
+    load)."""
     structure = dyn._arrow_structure(model)
     assert structure is not None, "scalar core needs the quadruped structure"
     base, chains = structure
@@ -287,9 +291,11 @@ def build_substep(model: Model, dt: float,
         return jnp.where(c, a, b)
 
     def substep(qpos: Sequence, qvel: Sequence, ctrl: Sequence,
-                plane: Sequence = None):
+                plane: Sequence = None, payload=None):
         zero = qpos[0] * 0.0
         one = zero + 1.0
+        if not with_payload:
+            payload = None
         if with_plane:
             pn = (plane[0], plane[1], plane[2])
             pd = plane[3]
@@ -387,6 +393,17 @@ def build_substep(model: Model, dt: float,
                 I_w[1][2] - m * cy * cz,
                 I_w[2][2] + m * (cx * cx + cy * cy),
             )
+            if b == 0 and with_payload:
+                # per-lane payload: a point mass rigidly attached at the
+                # trunk origin.  The common origin IS the trunk position,
+                # so the point sits at r=0: A6 gains nothing, total mass
+                # grows, and the combined com shrinks toward the origin.
+                # h = m*com is preserved (m' * com' = m * com).
+                m_tot = payload + m
+                scale = m / m_tot
+                com = (com[0] * scale, com[1] * scale, com[2] * scale)
+                I_O[b] = (A6, com, m_tot)
+                continue
             I_O[b] = (A6, com, m)
 
         # ---------------- velocities ----------------

@@ -188,23 +188,26 @@ def main():
                    meets_4096_per_tick=bool(B * n / dt >= 4096 * 50))
 
             # 4c: DOMAIN-RANDOMIZED — every scenario gets its own ground
-            # plane (height +-3 cm, tilt up to ~4 deg) via the per-lane
-            # plane input; the "terrain/payload batch" of BASELINE cfg 4
+            # plane (height +-3 cm, tilt up to ~4 deg) AND its own trunk
+            # payload mass; the "terrain/payload batch" of BASELINE cfg 4
             rng = np.random.default_rng(0)
             tilt = rng.normal(0, 0.04, (2, B))
             nz = np.sqrt(1.0 - np.clip(tilt[0] ** 2 + tilt[1] ** 2, 0, 0.5))
             dvec = rng.normal(0, 0.03, B)
             plane = jnp.asarray(
                 np.stack([tilt[0], tilt[1], nz, dvec]).astype(np.float32))
+            payload = jnp.asarray(
+                rng.uniform(0.0, 0.5, (1, B)).astype(np.float32))
             psub_p = build_pallas_substep(m, float(m.timestep), k_tile=512,
-                                          n_substeps=10, with_plane=True)
-            qp, qv = psub_p(qp, qv, ct, plane); fetch(qp)
+                                          n_substeps=10, with_plane=True,
+                                          with_payload=True)
+            qp, qv = psub_p(qp, qv, ct, plane, payload); fetch(qp)
             t0 = time.time()
             for _ in range(n):
-                qp, qv = psub_p(qp, qv, ct, plane)
+                qp, qv = psub_p(qp, qv, ct, plane, payload)
             fetch(qp)
             dt = time.time() - t0
-            record("4c_batch4096_domrand_planes",
+            record("4c_batch4096_domrand_planes_payloads",
                    env_ticks_per_sec=round(B * n / dt, 1),
                    meets_4096_per_tick=bool(B * n / dt >= 4096 * 50),
                    all_finite=bool(np.isfinite(np.asarray(qv)).all()))
