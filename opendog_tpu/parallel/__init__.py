@@ -3,6 +3,6 @@ from .mesh import (  # noqa: F401
     initialize_distributed,
     replicate,
     shard_batch,
-    solver_mesh,
+    sample_mesh,
 )
 from .rollout import make_sharded_ppo, scaling_efficiency  # noqa: F401

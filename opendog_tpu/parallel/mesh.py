@@ -4,10 +4,11 @@ The reference's only parallelism is 4 SubprocVecEnv worker processes over OS
 pipes (``train/train.py:63-87``) and a two-ESP UDP fan-out (SURVEY §2.8).
 The TPU equivalents here:
   * ``env_mesh``      — 1-D mesh over chips for the env/scenario batch (DP);
-  * ``solver_mesh``   — 2-D (scenario, sample) mesh: MPPI's rollout-sample
-    axis shards like tensor-parallel work, reductions ride ICI psum;
-  * ``distribute``    — multi-host initialisation (jax.distributed) for pod
-    slices; harmless no-op on a single host.
+  * ``sample_mesh``   — 1-D mesh over chips for the MPPI rollout-sample
+    axis (``mppi.make_solver(..., mesh=sample_mesh())``): the solver's
+    tensor-parallel analog, reductions ride ICI psum;
+  * ``initialize_distributed`` — multi-host bring-up (jax.distributed) for
+    pod slices; harmless no-op on a single host.
 """
 from __future__ import annotations
 
@@ -24,9 +25,11 @@ def env_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=("dp",))
 
 
-def solver_mesh(scenario: int, sample: int) -> Mesh:
-    devs = np.array(jax.devices()[: scenario * sample])
-    return Mesh(devs.reshape(scenario, sample), axis_names=("dp", "mp"))
+def sample_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh for sharding the MPPI K-sample axis over chips."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(np.array(devs[:n]), axis_names=("mp",))
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = "dp"):

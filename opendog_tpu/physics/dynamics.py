@@ -179,7 +179,8 @@ def arrow_solve(model: Model, A: jax.Array, b: jax.Array) -> jax.Array:
         a_ = All[..., 0, 0]; b_ = All[..., 0, 1]
         c_ = All[..., 1, 0]; d_ = All[..., 1, 1]
         det = a_ * d_ - b_ * c_
-        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        det = jnp.where(jnp.abs(det) < 1e-12,
+                        jnp.where(det < 0, -1e-12, 1e-12), det)
         All_inv = jnp.stack([
             jnp.stack([d_, -b_], axis=-1),
             jnp.stack([-c_, a_], axis=-1),
@@ -196,7 +197,8 @@ def arrow_solve(model: Model, A: jax.Array, b: jax.Array) -> jax.Array:
         c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
         c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
         det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02)
-        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        det = jnp.where(jnp.abs(det) < 1e-12,
+                        jnp.where(det < 0, -1e-12, 1e-12), det)
         All_inv = jnp.stack([
             jnp.stack([c00, c10, c20], axis=-1),
             jnp.stack([c01, c11, c21], axis=-1),

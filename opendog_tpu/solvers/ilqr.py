@@ -27,16 +27,112 @@ from typing import Callable, NamedTuple, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..physics import State, Terrain, dynamics
 
 
-def associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+def _vf_combine(earlier, later):
+    """Associative composition of two value-function blocks
+    (F, c, C, eta, J).  Batch-safe: every operand may carry leading batch
+    axes (``associative_scan`` combines whole blocks at once) and the two
+    sides broadcast against each other."""
+    F1, c1, C1, n1, J1 = earlier
+    F2, c2, C2, n2, J2 = later
+    nx = F1.shape[-1]
+    I = jnp.eye(nx)
+    mT = lambda M: jnp.swapaxes(M, -1, -2)
+    mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
+    A1 = I + C1 @ J2  # (..., nx, nx)
+    A2 = I + J2 @ C1
+    X = jnp.linalg.solve(A1, F1)
+    Y = jnp.linalg.solve(A1, C1)
+    Z = jnp.linalg.solve(A2, J2)
+    F12 = F2 @ X
+    c12 = mv(F2, jnp.linalg.solve(A1, (c1 + mv(C1, n2))[..., None])[..., 0]) + c2
+    C12 = F2 @ Y @ mT(F2) + C2
+    n12 = mv(mT(F1), jnp.linalg.solve(A2, (n2 - mv(J2, c1))[..., None])[..., 0]) + n1
+    J12 = mT(F1) @ Z @ F1 + J1
+    return (F12, c12, C12, n12, J12)
+
+
+def _vf_identity(nx):
+    """Identity element of ``_vf_combine``: combine(e, id) == e and
+    combine(id, l) == l (F=I, everything else zero)."""
+    return (jnp.eye(nx), jnp.zeros(nx), jnp.zeros((nx, nx)),
+            jnp.zeros(nx), jnp.zeros((nx, nx)))
+
+
+def _suffix_scan(elems):
+    """Reverse (suffix) associative scan of value-function blocks.
+    reverse=True internally flips the sequence and runs a forward scan, so
+    the callback's first argument is the *later-in-time* block: swap roles
+    so the earlier element stays the outer operator."""
+    return jax.lax.associative_scan(
+        lambda a, b: _vf_combine(b, a), elems, reverse=True
+    )
+
+
+def sharded_suffix_scan(elems, mesh: Mesh, axis_name: str = "sp"):
+    """Horizon-sharded reverse associative scan — the sequence/context-
+    parallel axis of the MPC engine (SURVEY §2.8 SP/CP row).
+
+    Classic two-level blocked scan over a device mesh: each device runs the
+    suffix scan on its local horizon block, block totals are exchanged with
+    one tiny ``all_gather`` over ICI, the cross-block suffix aggregates are
+    composed redundantly on every device (n_blocks elements — negligible),
+    and each local prefix is finished with one extra combine.  Equivalent
+    to the single-device scan up to fp reduction order
+    (tests/test_sharded_solvers.py)."""
+    n = int(mesh.shape[axis_name])
+    L = elems[0].shape[0]
+    nx = elems[0].shape[-1]
+    pad = (-L) % n
+    if pad:
+        ident = _vf_identity(nx)
+        elems = tuple(
+            jnp.concatenate([e, jnp.broadcast_to(i, (pad,) + i.shape)], 0)
+            for e, i in zip(elems, ident)
+        )
+
+    def shard_fn(local):
+        local_comp = _suffix_scan(local)
+        totals = tuple(t[:1] for t in local_comp)  # this block's product
+        gathered = jax.lax.all_gather(totals, axis_name, axis=0, tiled=True)
+        ident = _vf_identity(nx)
+        ext = tuple(
+            jnp.concatenate([g, i[None]], 0) for g, i in zip(gathered, ident)
+        )
+        agg_incl = _suffix_scan(ext)  # (n+1, ...), last = identity
+        idx = jax.lax.axis_index(axis_name)
+        # exclusive suffix for this block: product of all LATER blocks
+        agg = tuple(
+            jax.lax.dynamic_index_in_dim(a, idx + 1, 0, keepdims=False)
+            for a in agg_incl
+        )
+        return _vf_combine(local_comp, agg)
+
+    comp = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name),), out_specs=P(axis_name),
+        check_vma=False,
+    )(elems)
+    if pad:
+        comp = tuple(c[:L] for c in comp)
+    return comp
+
+
+def associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg,
+                          mesh: Optional[Mesh] = None,
+                          horizon_axis: str = "sp"):
     """O(log H)-depth LQR backward pass via associative value-function
     composition (see ``make_ilqr`` docstring).  Standalone so it can be
     validated against the sequential recursion and reused by other solvers.
+    With ``mesh`` given the horizon axis is sharded over devices
+    (``sharded_suffix_scan``).
 
-    Returns (k (H, nu), K (H, nu, nx))."""
+    Returns (k (H, nu), K (H, nu, nx), dV (H,))."""
     H, nx = A.shape[0], A.shape[1]
     nu = B.shape[2]
     eye_u = jnp.eye(nu)
@@ -57,34 +153,11 @@ def associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
     eta_all = jnp.concatenate([eta, -vx[None]], axis=0)
     J_all = jnp.concatenate([J, vxx[None]], axis=0)
 
-    def combine(earlier, later):
-        # batch-safe: associative_scan combines whole blocks at once, so
-        # every operand carries a leading batch axis
-        F1, c1, C1, n1, J1 = earlier
-        F2, c2, C2, n2, J2 = later
-        I = jnp.eye(nx)
-        mT = lambda M: jnp.swapaxes(M, -1, -2)
-        mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
-        A1 = I + C1 @ J2  # (..., nx, nx)
-        A2 = I + J2 @ C1
-        X = jnp.linalg.solve(A1, F1)
-        Y = jnp.linalg.solve(A1, C1)
-        Z = jnp.linalg.solve(A2, J2)
-        F12 = F2 @ X
-        c12 = mv(F2, jnp.linalg.solve(A1, (c1 + mv(C1, n2))[..., None])[..., 0]) + c2
-        C12 = F2 @ Y @ mT(F2) + C2
-        n12 = mv(mT(F1), jnp.linalg.solve(A2, (n2 - mv(J2, c1))[..., None])[..., 0]) + n1
-        J12 = mT(F1) @ Z @ F1 + J1
-        return (F12, c12, C12, n12, J12)
-
-    # reverse=True internally flips the sequence and runs a forward scan, so
-    # the callback's first argument is the *later-in-time* block: swap roles
-    # so the earlier element stays the outer operator.
-    comp = jax.lax.associative_scan(
-        lambda a, b: combine(b, a),
-        (F_all, c_all, C_all, eta_all, J_all),
-        reverse=True,
-    )
+    elems = (F_all, c_all, C_all, eta_all, J_all)
+    if mesh is None:
+        comp = _suffix_scan(elems)
+    else:
+        comp = sharded_suffix_scan(elems, mesh, horizon_axis)
     Vxx_next = comp[4][1:]
     Vx_next = -comp[3][1:]
 
@@ -100,7 +173,7 @@ def associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
         return k, K, dV
 
     k, K, dV = jax.vmap(gains)((A, B, lu, luu, lux, Vx_next, Vxx_next))
-    return k, K
+    return k, K, dV
 
 
 class ILQRConfig(NamedTuple):
@@ -114,6 +187,11 @@ class ILQRConfig(NamedTuple):
     line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)
     riccati: str = "scan"        # "scan" | "associative"
     u_cost_reg: float = 1e-3     # quadratic control regularisation added
+    # Matmul precision for the rollout dynamics.  TPU default-precision MXU
+    # matmuls cost ~7e-3 qvel error/substep on the op-graph path (measured,
+    # CLAUDE.md); "highest" forces full-f32 accumulation in the tiny
+    # einsums of dynamics.step at a modest speed cost for these shapes.
+    precision: str = "highest"
 
 
 def make_ilqr(
@@ -122,8 +200,14 @@ def make_ilqr(
     config: ILQRConfig = ILQRConfig(),
     terminal_cost: Optional[Callable] = None,
     terrain: Optional[Terrain] = None,
+    mesh: Optional[Mesh] = None,
+    horizon_axis: str = "sp",
 ):
-    """Build ``solve(state, U_init) -> (U*, X*, stats)`` (jittable)."""
+    """Build ``solve(state, U_init) -> (U*, X*, stats)`` (jittable).
+    ``stats`` includes the final feedback gains ``k_ff``/``K_fb`` along the
+    returned trajectory (free when unused — XLA dead-code-eliminates them).
+    ``mesh`` shards the associative Riccati sweep over the horizon axis
+    (requires ``riccati='associative'``)."""
     nq, nv, nu = model.nq, model.nv, model.nu
     nx = nq + nv
     rollout_model = (
@@ -131,6 +215,9 @@ def make_ilqr(
     )
     lo = np.asarray(model.actuator_ctrlrange)[:, 0]
     hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    if mesh is not None:
+        assert config.riccati == "associative", (
+            "horizon sharding requires the associative Riccati sweep")
 
     def pack(qpos, qvel):
         return jnp.concatenate([qpos, qvel])
@@ -141,9 +228,10 @@ def make_ilqr(
     def f(x, u):
         qpos, qvel = unpack(x)
         st = State(qpos=qpos, qvel=qvel, time=jnp.zeros(()))
-        st2, _ = dynamics.step(
-            rollout_model, st, u, terrain, n_substeps=config.n_substeps
-        )
+        with jax.default_matmul_precision(config.precision):
+            st2, _ = dynamics.step(
+                rollout_model, st, u, terrain, n_substeps=config.n_substeps
+            )
         return pack(st2.qpos, st2.qvel)
 
     def _as_state(x):
@@ -218,10 +306,11 @@ def make_ilqr(
         return k, K, jnp.sum(dV)
 
     def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
-        k, K = associative_lqr_gains(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
-        # dV estimate for the acceptance logic (recomputed cheaply)
-        dV = jnp.sum(k * lu)
-        return k, K, dV
+        k, K, dV = associative_lqr_gains(
+            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg,
+            mesh=mesh, horizon_axis=horizon_axis,
+        )
+        return k, K, jnp.sum(dV)
 
     # ---------------- forward pass with parallel line search --------------
     def forward(x0, X, U, k, K, alpha):
@@ -237,6 +326,12 @@ def make_ilqr(
         Xnew = jnp.concatenate([x0[None], X1], axis=0)
         return Xnew, Unew
 
+    backward = (
+        backward_associative
+        if config.riccati == "associative"
+        else backward_scan
+    )
+
     def solve(state: State, U_init: jax.Array):
         x0 = pack(state.qpos, state.qvel)
 
@@ -246,11 +341,6 @@ def make_ilqr(
             A = dfdx(X[:-1], U)
             B = dfdu(X[:-1], U)
             lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U)
-            backward = (
-                backward_associative
-                if config.riccati == "associative"
-                else backward_scan
-            )
             k, K, dV = backward(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
 
             alphas = jnp.asarray(config.line_search_alphas)
@@ -274,7 +364,18 @@ def make_ilqr(
             None, length=config.iterations,
         )
         X = rollout(x0, U)
+        # final time-varying LQR gains along (X, U): one extra backward
+        # pass at the converged plan.  Used by the replan+track MPC cycle
+        # (mpc.make_ilqr_tracker); XLA eliminates it when stats['K_fb'] is
+        # unused by the caller.
+        A = dfdx(X[:-1], U)
+        B = dfdu(X[:-1], U)
+        lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U)
+        k_ff, K_fb, _ = backward(
+            A, B, lx, lu, lxx, luu, lux, vx, vxx,
+            jnp.float32(config.reg_init),
+        )
         return U, X, dict(cost=cost, initial_cost=cost0,
-                          cost_trace=cost_trace)
+                          cost_trace=cost_trace, k_ff=k_ff, K_fb=K_fb)
 
     return solve

@@ -3,11 +3,13 @@
 Runs solver + plant fully on-device: one jitted ``control_tick`` advances the
 real plant by one 50 Hz control step using the solver's first action and
 re-plans.  ``run`` scans N ticks on-device (for benchmarking / batch
-evaluation); ``RealtimeController`` exposes a host-side tick for the robot
-bridge (12.5 Hz loop of the reference, ``sim2real/run_robot.py:37``).
+evaluation); ``RealtimeController`` exposes a host-side pipelined tick for
+the robot bridge (the reference's hardware loop runs 12.5 Hz,
+``sim2real/run_robot.py:37``; ours meets the 50 Hz p99 budget — bench.py).
 """
 from __future__ import annotations
 
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
@@ -32,10 +34,14 @@ def make_mpc(
     config: mppi.MPPIConfig = mppi.MPPIConfig(),
     plant_substeps: int = 10,
     terrain: Optional[Terrain] = None,
+    mesh=None,
+    sample_axis: str = "mp",
 ):
     """Returns (init(key, physics_state) -> carry, tick(carry) -> (carry,
-    info), run(carry, n) -> (carry, traj))."""
-    solve = mppi.make_solver(model, step_cost, config, terrain=terrain)
+    info), run(carry, n) -> (carry, traj)).  ``mesh`` shards the MPPI
+    sample axis over devices (see ``mppi.make_solver``)."""
+    solve = mppi.make_solver(model, step_cost, config, terrain=terrain,
+                             mesh=mesh, sample_axis=sample_axis)
 
     if config.engine == "pallas" and terrain is None:
         # Plant integrates through the fused kernel too: on TPU the
@@ -80,6 +86,95 @@ def make_mpc(
     return init, tick, run
 
 
+class RealtimeController:
+    """Host-side pipelined MPC tick for a robot bridge at a 50 Hz budget.
+
+    Remote-TPU device->host fetches are latency-bound (~25-30 ms RTT over
+    the axon tunnel) while dispatch and ``copy_to_host_async`` are ~free
+    and overlap, so the controller runs the solve pipeline ``lag`` ticks
+    deep: ``tick(state)`` dispatches solve(t) against the measured plant
+    state, starts an async host copy of its first action, and returns
+    ctrl(t-lag) — already staged on the host, so the read doesn't block on
+    the network.  Receding-horizon MPC is robust to acting on a plan from
+    ``lag`` ticks ago (the nominal is shifted each solve); the reference's
+    own hardware loop tolerates 80 ms control periods
+    (``sim2real/run_robot.py:37``).
+
+    With ``state=None`` the controller advances an internal on-device
+    plant instead (benchmark mode — the bench.py host-loop metric).
+    """
+
+    def __init__(self, model, step_cost, config: mppi.MPPIConfig,
+                 terrain: Optional[Terrain] = None, lag: int = 1,
+                 plant_substeps: int = 10, key=None):
+        self.lag = max(0, int(lag))
+        self.model = model
+        init, tick, _ = make_mpc(model, step_cost, config,
+                                 plant_substeps=plant_substeps,
+                                 terrain=terrain)
+        self._carry = None  # set by start()
+        self._init = init
+        # host-loop tick returns only (carry, ctrl): everything else is
+        # dead-code-eliminated; the carry is donated so plant/solver
+        # buffers are reused in place on device
+        self._jtick = jax.jit(
+            lambda c: (lambda c2, out: (c2, out["ctrl"]))(*tick(c)),
+            donate_argnums=0,
+        )
+        solve = mppi.make_solver(model, step_cost, config, terrain=terrain)
+        # bridge tick: measured plant state in, ctrl out (no internal plant)
+        self._jsolve = jax.jit(
+            lambda st, ms, k: (lambda ctrl, ms2, stats:
+                               (ctrl, ms2))(*solve(st, ms, k)),
+            donate_argnums=1,
+        )
+        self._config = config
+        self._pending = deque()
+        self._solver_state = None
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        # placeholder returned until the pipeline is primed: the keyframe
+        # ctrl clipped into ctrlrange (keyframes may sit just outside it)
+        rng = np.asarray(model.actuator_ctrlrange, np.float32)
+        self._last_ctrl = np.clip(
+            np.asarray(model.key_ctrl[0], np.float32), rng[:, 0], rng[:, 1])
+
+    # -------- benchmark mode (internal on-device plant) ----------------
+    def start(self, physics_state: State):
+        self._carry = self._init(self._key, physics_state)
+
+    def tick(self) -> np.ndarray:
+        """One pipelined control tick; returns ctrl(t-lag) as numpy."""
+        self._carry, ctrl = self._jtick(self._carry)
+        ctrl.copy_to_host_async()
+        self._pending.append(ctrl)
+        if len(self._pending) > self.lag:
+            self._last_ctrl = np.asarray(self._pending.popleft())
+        return self._last_ctrl
+
+    def drain(self) -> np.ndarray:
+        """Flush the pipeline (e.g. at shutdown)."""
+        while self._pending:
+            self._last_ctrl = np.asarray(self._pending.popleft())
+        return self._last_ctrl
+
+    # -------- bridge mode (external plant: the real robot) -------------
+    def bridge_tick(self, qpos: np.ndarray, qvel: np.ndarray,
+                    t: float = 0.0) -> np.ndarray:
+        """One tick against a measured robot state; returns ctrl(t-lag)."""
+        if self._solver_state is None:
+            self._solver_state = mppi.init_state(self.model, self._config)
+        self._key, sub = jax.random.split(self._key)
+        st = State(qpos=jnp.asarray(qpos, jnp.float32),
+                   qvel=jnp.asarray(qvel, jnp.float32),
+                   time=jnp.asarray(t, jnp.float32))
+        ctrl, self._solver_state = self._jsolve(st, self._solver_state, sub)
+        ctrl.copy_to_host_async()
+        self._pending.append(ctrl)
+        if len(self._pending) > self.lag:
+            self._last_ctrl = np.asarray(self._pending.popleft())
+        return self._last_ctrl
+
+
 def make_ilqr_tracker(
     model,
     step_cost: Callable,
@@ -103,7 +198,6 @@ def make_ilqr_tracker(
     assert ilqr_config.horizon >= track_ticks
     solve = ilqr_mod.make_ilqr(model, step_cost, ilqr_config,
                                terrain=terrain)
-    nq = model.nq
     lo = np.asarray(model.actuator_ctrlrange)[:, 0]
     hi = np.asarray(model.actuator_ctrlrange)[:, 1]
 
@@ -111,28 +205,18 @@ def make_ilqr_tracker(
         """One replan + ``track_ticks`` tracked plant ticks.  Returns
         (plant', U_next_init, traj dict)."""
         U, X, stats = solve(plant, U_init)
-        # feedback gains along the optimised trajectory
-        A = jax.vmap(jax.jacfwd(lambda x, u: _f(x, u), argnums=0))(
-            X[:-1], U)
-        B = jax.vmap(jax.jacfwd(lambda x, u: _f(x, u), argnums=1))(
-            X[:-1], U)
-        # cheap stationary LQR gains around the plan via the associative pass
-        nx = X.shape[-1]
-        lx = jnp.zeros((U.shape[0], nx))
-        lu = jnp.zeros_like(U)
-        lxx = jnp.tile(jnp.eye(nx)[None], (U.shape[0], 1, 1))
-        luu = jnp.tile((jnp.eye(model.nu) * 1e-2)[None], (U.shape[0], 1, 1))
-        lux = jnp.zeros((U.shape[0], model.nu, nx))
-        k_ff, K_fb = ilqr_mod.associative_lqr_gains(
-            A, B, lx, lu, lxx, luu, lux, jnp.zeros(nx), jnp.eye(nx), 1e-6
-        )
+        # time-varying LQR feedback gains from the solve's own final
+        # backward pass (the true cost expansion along the plan, not an
+        # ad-hoc stationary LQR)
+        K_fb = stats["K_fb"]
 
         def track(carry, t):
             st = carry
             x = jnp.concatenate([st.qpos, st.qvel])
             u = jnp.clip(U[t] + K_fb[t] @ (x - X[t]), lo, hi)
-            st2, _ = dynamics.step(model, st, u, terrain,
-                                   n_substeps=plant_substeps)
+            with jax.default_matmul_precision("highest"):
+                st2, _ = dynamics.step(model, st, u, terrain,
+                                       n_substeps=plant_substeps)
             return st2, dict(qpos=st2.qpos, ctrl=u)
 
         plant2, traj = jax.lax.scan(
@@ -144,13 +228,5 @@ def make_ilqr_tracker(
         )
         traj["cost"] = stats["cost"]
         return plant2, U_next, traj
-
-    def _f(x, u):
-        st = State(qpos=x[:nq], qvel=x[nq:], time=jnp.zeros(()))
-        st2, _ = dynamics.step(
-            model.replace(timestep=ilqr_config.rollout_dt), st, u, terrain,
-            n_substeps=ilqr_config.n_substeps,
-        )
-        return jnp.concatenate([st2.qpos, st2.qvel])
 
     return cycle

@@ -4,8 +4,15 @@ north-star MPC engine (BASELINE.json configs 2 and 4).
 TPU-first design: one solve is K vmapped rollouts of a ``lax.scan`` over the
 horizon, entirely on-device inside a single jitted function — thousands of
 batched rollouts per 50 Hz control tick.  The scenario axis (domain
-randomization / multi-env MPC) is an additional vmap/shard_map axis on top,
-which is how the solver scales across a mesh (SURVEY §2.8 DP row).
+randomization / multi-env MPC) is an additional vmap/shard_map axis on top
+(SURVEY §2.8 DP row), and the K-sample axis itself shards over a device
+mesh (``make_solver(..., mesh=)``): each device rolls out its slice of the
+samples and the softmax-weighted nominal update is reduced with
+``psum``/``pmin`` over ICI — the tensor-parallel analog of this engine
+(SURVEY §2.8 TP row; BASELINE.json "reductions ride ICI collectives").
+Noise is drawn per-sample from split keys so the N-device solve is
+bit-comparable to the single-device solve (same draws, same softmax up to
+reduction order).
 
 Reference context: the reference has no MPC — its control is either a trained
 policy (``sim2real/run_robot.py``) or scripted gaits; this solver is the
@@ -21,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..physics import State, Terrain, dynamics
 
@@ -62,12 +71,23 @@ def make_solver(
     config: MPPIConfig = MPPIConfig(),
     terminal_cost: Optional[Callable] = None,
     terrain: Optional[Terrain] = None,
+    mesh: Optional[Mesh] = None,
+    sample_axis: str = "mp",
 ):
     """Build ``solve(physics_state, mppi_state, key) -> (ctrl, mppi_state',
-    stats)``.  Jit (or vmap for batched scenarios) the returned function."""
+    stats)``.  Jit (or vmap for batched scenarios) the returned function.
+
+    With ``mesh`` given, the K rollout samples are sharded over
+    ``mesh[sample_axis]`` via ``shard_map``: each device rolls out
+    K/n_devices candidates and the softmax-weighted update is reduced with
+    ``pmin``/``psum`` collectives, bit-comparable (up to reduction order) to
+    the single-device solve (tests/test_sharded_solvers.py)."""
     lo = np.asarray(model.actuator_ctrlrange)[:, 0]
     hi = np.asarray(model.actuator_ctrlrange)[:, 1]
     H, K, nu = config.horizon, config.num_samples, model.nu
+    n_shards = int(mesh.shape[sample_axis]) if mesh is not None else 1
+    assert K % n_shards == 0, "num_samples must divide the sample mesh axis"
+    K_local = K // n_shards
     rollout_model = (
         model.replace(timestep=config.rollout_dt) if config.rollout_dt else model
     )
@@ -94,15 +114,15 @@ def make_solver(
     if config.engine == "pallas":
         from ..ops.pallas_step import build_pallas_substep
 
-        k_tile = K if K < 256 else 256
+        k_tile = K_local if K_local < 256 else 256
         psub = build_pallas_substep(
             rollout_model, float(rollout_model.timestep),
             k_tile=k_tile, n_substeps=config.n_substeps,
             with_plane=terrain is not None,
         )
 
-    def _local_plane(state: State) -> jax.Array:
-        """(4, K) per-lane contact plane: the terrain's tangent plane at
+    def _local_plane(state: State, k: int) -> jax.Array:
+        """(4, k) per-lane contact plane: the terrain's tangent plane at
         the plant position — the local-plane approximation that keeps
         terrain rollouts on the fused kernel (exact bilinear contact
         remains on the plant/op-graph path)."""
@@ -113,17 +133,18 @@ def make_solver(
         p0 = jnp.array([state.qpos[0], state.qpos[1], h[0]])
         d = jnp.dot(n, p0)
         row = jnp.concatenate([n, d[None]])  # (4,)
-        return jnp.tile(row[:, None], (1, K))
+        return jnp.tile(row[:, None], (1, k))
 
     def rollout_costs_pallas(state: State, candidates: jax.Array):
-        """All-K rollout via the fused kernel: carry is the (rows, K) lane
-        layout, one pallas_call per control step."""
-        qp0 = jnp.tile(state.qpos[:, None], (1, K))
-        qv0 = jnp.tile(state.qvel[:, None], (1, K))
+        """Rollout of all candidates via the fused kernel: carry is the
+        (rows, k) lane layout, one pallas_call per control step."""
+        k = candidates.shape[0]
+        qp0 = jnp.tile(state.qpos[:, None], (1, k))
+        qv0 = jnp.tile(state.qvel[:, None], (1, k))
         dt_tick = float(rollout_model.timestep) * config.n_substeps
-        plane = _local_plane(state) if terrain is not None else None
+        plane = _local_plane(state, k) if terrain is not None else None
 
-        def tick(carry, ctrl):  # ctrl (K, nu)
+        def tick(carry, ctrl):  # ctrl (k, nu)
             qp, qv, prev_ctrl, t, disc = carry
             if terrain is not None:
                 qp2, qv2 = psub(qp, qv, ctrl.T, plane)
@@ -131,7 +152,7 @@ def make_solver(
                 qp2, qv2 = psub(qp, qv, ctrl.T)
             t2 = t + dt_tick
             st = State(qpos=qp2.T, qvel=qv2.T,
-                       time=jnp.full((K,), t2, jnp.float32))
+                       time=jnp.full((k,), t2, jnp.float32))
             c = jax.vmap(step_cost)(st, ctrl, prev_ctrl) * disc
             return (qp2, qv2, ctrl, t2, disc * config.gamma), c
 
@@ -140,28 +161,32 @@ def make_solver(
             (qp0, qv0, candidates[:, 0], state.time, jnp.float32(1.0)),
             candidates.swapaxes(0, 1),
         )
-        total = jnp.sum(costs, axis=0)  # (K,)
+        total = jnp.sum(costs, axis=0)  # (k,)
         if terminal_cost is not None:
             final = State(qpos=qpf.T, qvel=qvf.T,
-                          time=jnp.full((K,), tf, jnp.float32))
+                          time=jnp.full((k,), tf, jnp.float32))
             total = total + jax.vmap(terminal_cost)(final)
         return total
 
-    def solve(state: State, mppi: MPPIState, key: jax.Array):
-        eps = (
-            jax.random.normal(key, (K, H, nu), dtype=jnp.float32)
-            * config.noise_sigma
-        )
-        # colored (low-pass) exploration noise keeps the position servos from
-        # chattering — scan the smoothing along the horizon
-        def smooth(carry, e):
-            c = config.smooth_alpha * carry + (1 - config.smooth_alpha) * e
-            return c, c
+    def _sample_candidates(nominal: jax.Array, keys: jax.Array) -> jax.Array:
+        """(k, H, nu) clipped candidate plans, one per-sample PRNG key.
+        Colored (low-pass) exploration noise keeps the position servos
+        from chattering — the smoothing scans along the horizon."""
 
-        eps = jax.lax.scan(smooth, jnp.zeros((K, nu)), eps.swapaxes(0, 1))[1]
-        eps = eps.swapaxes(0, 1)
-        candidates = jnp.clip(mppi.nominal[None] + eps, lo, hi)
+        def one(k):
+            e = (jax.random.normal(k, (H, nu), dtype=jnp.float32)
+                 * config.noise_sigma)
 
+            def smooth(carry, x):
+                c = config.smooth_alpha * carry + (1 - config.smooth_alpha) * x
+                return c, c
+
+            return jax.lax.scan(smooth, jnp.zeros(nu), e)[1]
+
+        eps = jax.vmap(one)(keys)
+        return jnp.clip(nominal[None] + eps, lo, hi)
+
+    def _rollout_costs(state: State, candidates: jax.Array) -> jax.Array:
         if config.engine == "pallas":
             costs = rollout_costs_pallas(state, candidates)
         else:
@@ -169,18 +194,59 @@ def make_solver(
                 state, candidates)
         # diverged candidate rollouts (coarse planning dt) must not poison
         # the softmax: treat non-finite costs as very bad, not NaN
-        costs = jnp.where(jnp.isfinite(costs), costs, 1e9)
+        return jnp.where(jnp.isfinite(costs), costs, 1e9)
+
+    def _weighted_update(candidates, costs, axis_name=None):
+        """Softmax-weighted nominal update; with ``axis_name`` the weights
+        and weighted sums reduce over the sample-sharded mesh axis (the ICI
+        collective path of the solver)."""
         beta = jnp.min(costs)
-        w = jax.nn.softmax(-(costs - beta) / config.temperature)
-        new_nominal = jnp.einsum("k,khu->hu", w, candidates)
+        if axis_name is not None:
+            beta = jax.lax.pmin(beta, axis_name)
+        w_un = jnp.exp(-(costs - beta) / config.temperature)
+        denom = jnp.sum(w_un)
+        new_nominal = jnp.einsum("k,khu->hu", w_un, candidates)
+        sum_cost = jnp.sum(costs)
+        sum_w2_un = jnp.sum(jnp.square(w_un))
+        if axis_name is not None:
+            denom, new_nominal, sum_cost, sum_w2_un = (
+                jax.lax.psum(denom, axis_name),
+                jax.lax.psum(new_nominal, axis_name),
+                jax.lax.psum(sum_cost, axis_name),
+                jax.lax.psum(sum_w2_un, axis_name),
+            )
+        new_nominal = new_nominal / denom
+        stats = dict(
+            best_cost=beta,
+            mean_cost=sum_cost / K,
+            # effective sample size of the normalised weights
+            ess=jnp.square(denom) / sum_w2_un,
+        )
+        return new_nominal, stats
+
+    def solve(state: State, mppi: MPPIState, key: jax.Array):
+        keys = jax.random.split(key, K)
+
+        if mesh is None:
+            candidates = _sample_candidates(mppi.nominal, keys)
+            costs = _rollout_costs(state, candidates)
+            new_nominal, stats = _weighted_update(candidates, costs)
+        else:
+            def shard_fn(st, nominal, keys_local):
+                cand = _sample_candidates(nominal, keys_local)
+                costs = _rollout_costs(st, cand)
+                return _weighted_update(cand, costs, axis_name=sample_axis)
+
+            new_nominal, stats = shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P(), P(sample_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state, mppi.nominal, keys)
+
         ctrl = new_nominal[0]
         # receding horizon: shift, repeat last
         shifted = jnp.concatenate([new_nominal[1:], new_nominal[-1:]], axis=0)
-        stats = dict(
-            best_cost=beta,
-            mean_cost=jnp.mean(costs),
-            ess=1.0 / jnp.sum(jnp.square(w)),  # effective sample size
-        )
         return ctrl, MPPIState(nominal=shifted), stats
 
     return solve

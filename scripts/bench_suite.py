@@ -114,6 +114,72 @@ def main():
                final_x=round(float(q[0]), 2),
                healthy=bool(0.12 < q[2] < 0.5))
 
+    # ---- config 2c: terrain local-plane MPPI (the 802 solves/s claim:
+    # per-lane contact planes keep terrain rollouts on the fused kernel,
+    # exact bilinear contact stays on the plant path) ----
+    if "2c" not in args.skip and jax.default_backend() != "cpu":
+        from opendog_tpu.physics import terrain as terrain_lib
+
+        m = load_opendog("terrain")
+        terr = terrain_lib.generate_terrain(jax.random.PRNGKey(5), m)
+        cost = costs.standing_cost(m, 0.0694 + 0.151,
+                                   np.asarray(m.key_qpos[0])[7:])
+        cfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.08,
+                         engine="pallas")
+        init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10,
+                                   terrain=terr)
+        s0 = make_state(m, "home")
+        s0 = s0.replace(qpos=s0.qpos.at[2].add(0.151))
+        carry = init(jax.random.PRNGKey(0), s0)
+        jrun = jax.jit(lambda c: run(c, 100))
+        carry, traj = jrun(carry); fetch(traj["qpos"])
+        t0 = time.time()
+        carry, traj = jrun(carry)
+        fetch(traj["qpos"])
+        dt = time.time() - t0
+        q = np.asarray(carry.plant.qpos)
+        record("2c_terrain_mppi_256",
+               solves_per_sec=round(100 / dt, 1),
+               trunk_z=round(float(q[2]), 3),
+               all_finite=bool(np.isfinite(q).all()))
+
+    # ---- config 6: SAMPLE-SHARDED MPPI over the device mesh (the TP-
+    # analog axis; psum/pmin reductions over ICI).  On a 1-chip host the
+    # mesh is size 1 — the code path is identical, and N-device ==
+    # 1-device equivalence is proven on the 8-device CPU mesh in
+    # tests/test_sharded_solvers.py. ----
+    if "6" not in args.skip:
+        from opendog_tpu.parallel import sample_mesh
+        from opendog_tpu.solvers import mppi
+
+        m = load_go1("flat")
+        p = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                 target_height=0.265)
+        cost = costs.trot_cost(m, p, np.asarray(m.key_qpos[0])[7:])
+        mesh = sample_mesh()
+        n_dev = mesh.devices.size
+        engine = "pallas" if jax.default_backend() != "cpu" else "xla"
+        cfg = MPPIConfig(horizon=25, num_samples=256 * n_dev, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.12, temperature=0.3,
+                         engine=engine)
+        solve = jax.jit(mppi.make_solver(m, cost, cfg, mesh=mesh))
+        s0 = make_state(m, "home")
+        ms = mppi.init_state(m, cfg)
+        key = jax.random.PRNGKey(0)
+        ctrl, ms, stats = solve(s0, ms, key); fetch(ctrl)
+        n = 100
+        t0 = time.time()
+        for i in range(n):
+            ctrl, ms, stats = solve(s0, ms, key)
+        fetch(ctrl)
+        dt = time.time() - t0
+        record("6_sample_sharded_mppi",
+               solves_per_sec=round(n / dt, 1),
+               devices=n_dev,
+               rollouts_per_tick=cfg.num_samples,
+               best_cost=round(fetch(stats["best_cost"]), 3))
+
     # ---- config 3: iLQR 1 Hz replan + 50 Hz tracking ----
     if "3" not in args.skip:
         m = load_go1("flat")

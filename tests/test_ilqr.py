@@ -73,7 +73,7 @@ def test_associative_riccati_matches_sequential():
     # the backward functions are closures; re-derive via public solve is
     # expensive — instead, duplicate the associative math through the
     # module by invoking the standalone helper:
-    k_par, K_par = ilqr_mod.associative_lqr_gains(
+    k_par, K_par, _ = ilqr_mod.associative_lqr_gains(
         A, B, lx, lu, lxx, luu, lux, vx, vxx, 1e-9
     )
     np.testing.assert_allclose(np.asarray(k_par), np.asarray(k_seq),

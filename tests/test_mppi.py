@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from opendog_tpu.assets import load_go1, load_opendog
 from opendog_tpu.physics import make_state
 from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
+from opendog_tpu.solvers.mpc import RealtimeController
 
 
 def test_mppi_standing_balance_opendog():
@@ -44,3 +45,38 @@ def test_mppi_tracking_moves_forward_go1():
     # effective sample size should show a non-degenerate distribution
     ess = np.asarray(traj["ess"])
     assert ess.mean() > 1.5
+
+
+def test_realtime_controller_pipelined_ticks():
+    """The pipelined host-loop bridge (bench.py's 50 Hz p99 path): lag-1
+    ticks return valid in-range controls, the pipeline drains cleanly, and
+    bridge mode accepts a measured (qpos, qvel) state."""
+    m = load_opendog("flat")
+    cost = costs.standing_cost(
+        m, target_height=0.0694, home_joint_qpos=np.asarray(m.key_qpos[0])[7:]
+    )
+    cfg = MPPIConfig(horizon=4, num_samples=16, n_substeps=1,
+                     rollout_dt=0.01, noise_sigma=0.05)
+    rtc = RealtimeController(m, cost, cfg, lag=1, plant_substeps=2)
+    rtc.start(make_state(m, "home"))
+    lo = np.asarray(m.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(m.actuator_ctrlrange)[:, 1]
+
+    # tick 0 returns the key_ctrl placeholder (pipeline not yet primed);
+    # every tick after that returns the (t-1)-tick solve result
+    ctrls = [rtc.tick() for _ in range(5)]
+    for c in ctrls:
+        assert c.shape == (m.nu,)
+        assert np.all(np.isfinite(c))
+        assert np.all(c >= lo - 1e-5) and np.all(c <= hi + 1e-5)
+    final = rtc.drain()
+    assert np.all(np.isfinite(final))
+
+    # bridge mode: external measured state in, lagged ctrl out
+    rtc2 = RealtimeController(m, cost, cfg, lag=1)
+    st = make_state(m, "home")
+    qpos, qvel = np.asarray(st.qpos), np.asarray(st.qvel)
+    for t in range(3):
+        c = rtc2.bridge_tick(qpos, qvel, t * 0.02)
+        assert c.shape == (m.nu,)
+        assert np.all(np.isfinite(c))
