@@ -8,74 +8,67 @@ targets (BASELINE.md: >=80% efficiency 1 chip -> N).
 """
 from __future__ import annotations
 
-import time
-from functools import partial
 from typing import Callable
 
-import numpy as np
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..envs.base import Env
-from ..rl import networks
-from ..rl.ppo import Hyper, PPOConfig, TrainState, make_ppo
+from ..rl.ppo import PPOConfig, TrainState, make_ppo
 
 
-def make_sharded_ppo(env: Env, network, config: PPOConfig, mesh: Mesh):
-    """Data-parallel PPO: env batch sharded over the mesh's ``dp`` axis,
-    parameters replicated, gradients psum-reduced inside one jitted step.
+def make_sharded_ppo(env: Env, network, config: PPOConfig, mesh: Mesh,
+                     axis: str = "dp"):
+    """Data-parallel PPO: env batch sharded over the mesh's ``axis``,
+    parameters replicated, minibatch GRADIENTS ``pmean``-reduced inside the
+    update step (``rl/ppo.py make_ppo(axis_name=...)``) — ONE learner over
+    all rollouts, exactly the reference's gather-into-one-PPO semantics
+    (``train/train.py:63-87``).  An N-device chunk reproduces the 1-device
+    chunk on the concatenated env batch (tests/test_parallel.py
+    ``test_sharded_ppo_matches_single_device``).
 
-    Returns (init(key) -> TrainState_sharded, train_chunk(state, hyper)).
-    Built on the single-chip engine: each shard runs ``make_ppo``'s chunk on
-    its local env slice with a gradient all-reduce injected through optax.
+    ``config`` is GLOBAL: ``num_envs`` and ``minibatch_size`` are divided
+    across shards.  Returns (init(key) -> TrainState, chunk(state, hyper)).
     """
-    n_dev = mesh.devices.size
+    n_dev = int(mesh.shape[axis])
     assert config.num_envs % n_dev == 0, "num_envs must divide the mesh"
-    local_cfg = config._replace(num_envs=config.num_envs // n_dev)
+    assert config.minibatch_size % n_dev == 0, (
+        "minibatch_size must divide the mesh")
+    local_cfg = config._replace(
+        num_envs=config.num_envs // n_dev,
+        minibatch_size=config.minibatch_size // n_dev,
+    )
 
-    init_local, chunk_local = make_ppo(env, network, local_cfg)
+    _, chunk_local = make_ppo(env, network, local_cfg,
+                              axis_name=axis, axis_size=n_dev)
+    # init with GLOBAL env count: the state is identical to the one a
+    # single-device learner would build, then sharded along the env axis
+    init_global, _ = make_ppo(env, network, config)
+
+    state_specs = TrainState(
+        params=P(), opt_state=P(), env_states=P(axis),
+        last_obs=P(axis), key=P(), update_count=P(),
+    )
 
     def init(key):
-        keys = jax.random.split(key, n_dev)
-        states = jax.vmap(init_local)(keys)
-        # params/opt replicated: take shard 0's copy
-        params = jax.tree.map(lambda x: x[0], states.params)
-        opt_state = jax.tree.map(lambda x: x[0], states.opt_state)
-        return states.replace(
+        state = init_global(key)
+        shard = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        return state.replace(
+            env_states=jax.tree.map(
+                lambda x: jax.device_put(x, shard), state.env_states),
+            last_obs=jax.device_put(state.last_obs, shard),
             params=jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), params
-            ),
-            opt_state=jax.tree.map(
-                lambda x: jnp.broadcast_to(jnp.asarray(x), (n_dev,) + jnp.shape(x)),
-                opt_state,
-            ),
+                lambda x: jax.device_put(x, rep), state.params),
         )
 
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P("dp"), P()),
-        out_specs=(P("dp"), P()),
+    train_chunk = shard_map(
+        chunk_local, mesh=mesh,
+        in_specs=(state_specs, P()),
+        out_specs=(state_specs, P()),
         check_vma=False,
     )
-    def train_chunk(states, hyper):
-        state = jax.tree.map(lambda x: x[0], states)  # local shard
-        new_state, metrics = chunk_local(state, hyper)
-        # keep replicas consistent: average the updated params across dp
-        # (gradient psum equivalent for identical initial params)
-        new_params = jax.tree.map(
-            lambda p: jax.lax.pmean(p, "dp"), new_state.params
-        )
-        new_opt = jax.tree.map(
-            lambda p: jax.lax.pmean(p, "dp")
-            if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating)
-            else p,
-            new_state.opt_state,
-        )
-        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "dp"), metrics)
-        out = new_state.replace(params=new_params, opt_state=new_opt)
-        return jax.tree.map(lambda x: x[None], out), metrics
 
     return init, jax.jit(train_chunk)
 

@@ -61,12 +61,31 @@ class Hyper(NamedTuple):
     ent_coef: jax.Array
 
 
-def make_ppo(env: Env, network, config: PPOConfig):
+def make_ppo(env: Env, network, config: PPOConfig,
+             axis_name: Optional[str] = None, axis_size: int = 1):
     """Returns (init(key) -> TrainState, train_chunk(state, hyper) ->
-    (state, metrics)).  ``train_chunk`` is fully jittable."""
+    (state, metrics)).  ``train_chunk`` is fully jittable.
+
+    ``axis_name`` turns the chunk into the per-shard body of a data-parallel
+    learner (call inside ``shard_map`` with ``config.num_envs`` = LOCAL
+    envs and ``axis_size`` = number of shards): minibatch gradients are
+    ``pmean``-reduced across shards — ONE learner over all rollouts, the
+    reference's SubprocVecEnv->single-PPO semantics
+    (``train/train.py:63-87,117-130``) — and advantage normalisation uses
+    global moments.  All per-env PRNG keys are sliced from one global
+    split, so an N-shard chunk reproduces the single-device chunk on the
+    concatenated batch exactly (tests/test_parallel.py)."""
 
     v_reset = jax.vmap(env.reset)
     v_step = jax.vmap(env.step)
+    global_envs = config.num_envs * axis_size
+
+    def _local_slice(keys):
+        """Slice this shard's block out of a (global_envs, ...) key array."""
+        if axis_name is None:
+            return keys
+        off = jax.lax.axis_index(axis_name) * config.num_envs
+        return jax.lax.dynamic_slice_in_dim(keys, off, config.num_envs)
 
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
@@ -88,13 +107,17 @@ def make_ppo(env: Env, network, config: PPOConfig):
             env_states, obs, key = carry
             key, k_act, k_reset = jax.random.split(key, 3)
             mean, log_std, value = network.apply(state.params, obs)
-            action = networks.sample_action(k_act, mean, log_std)
+            # per-env action keys from one global split: shard-invariant
+            act_keys = _local_slice(jax.random.split(k_act, global_envs))
+            action = jax.vmap(
+                lambda k, mu: networks.sample_action(k, mu, log_std)
+            )(act_keys, mean)
             logp = networks.gaussian_logp(mean, log_std, action)
             next_states, trans = v_step(env_states, action)
             done = trans.terminated | trans.truncated
             # autoreset
             fresh_states, fresh_obs = v_reset(
-                jax.random.split(k_reset, config.num_envs)
+                _local_slice(jax.random.split(k_reset, global_envs))
             )
             merged = jax.tree.map(
                 lambda a, b: jnp.where(
@@ -165,13 +188,21 @@ def make_ppo(env: Env, network, config: PPOConfig):
         return total, dict(actor_loss=actor_loss, value_loss=value_loss,
                            entropy=entropy)
 
+    def _global_mean(x):
+        m = jnp.mean(x)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        return m
+
     def train_chunk(state: TrainState, hyper: Hyper):
         env_states, last_obs, key, traj = _rollout(state)
         advantages, returns = _compute_gae(state.params, traj, last_obs)
         if config.normalize_advantage:
-            advantages = (advantages - advantages.mean()) / (
-                advantages.std() + 1e-8
-            )
+            # global moments across shards: matches the single learner
+            # normalising over the whole concatenated batch
+            mu = _global_mean(advantages)
+            var = _global_mean(jnp.square(advantages - mu))
+            advantages = (advantages - mu) / (jnp.sqrt(var) + 1e-8)
 
         T, B = config.n_steps, config.num_envs
         flat = dict(
@@ -196,6 +227,11 @@ def make_ppo(env: Env, network, config: PPOConfig):
                 grads, aux = jax.grad(_loss_fn, has_aux=True)(
                     params, batch, hyper
                 )
+                if axis_name is not None:
+                    # gradient all-reduce: every shard applies the SAME
+                    # update from the global minibatch (shard-local slices
+                    # of equal size -> pmean == global-batch gradient)
+                    grads = jax.lax.pmean(grads, axis_name)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
@@ -214,21 +250,23 @@ def make_ppo(env: Env, network, config: PPOConfig):
             length=config.num_epochs,
         )
 
-        ep_return_proxy = traj["reward"].sum(0).mean()
+        ep_return_proxy = _global_mean(traj["reward"].sum(0))
+        ret_mu = _global_mean(returns)
+        ret_var = _global_mean(jnp.square(returns - ret_mu))
         metrics = dict(
-            mean_reward=traj["reward"].mean(),
+            mean_reward=_global_mean(traj["reward"]),
             sum_reward_per_env=ep_return_proxy,
-            done_rate=traj["done"].mean(),
-            actor_loss=aux["actor_loss"].mean(),
-            value_loss=aux["value_loss"].mean(),
+            done_rate=_global_mean(traj["done"]),
+            actor_loss=_global_mean(aux["actor_loss"]),
+            value_loss=_global_mean(aux["value_loss"]),
             # critic residual normalised by target variance (1 - explained
             # variance); scale-free learning signal, unlike raw value_loss
             # whose magnitude tracks the (growing) returns.
             value_resid_frac=(
-                aux["value_loss"].mean() / (jnp.var(returns) + 1e-8)
+                _global_mean(aux["value_loss"]) / (ret_var + 1e-8)
             ),
-            entropy=aux["entropy"].mean(),
-            mean_value=traj["value"].mean(),
+            entropy=_global_mean(aux["entropy"]),
+            mean_value=_global_mean(traj["value"]),
         )
         new_state = TrainState(
             params=params, opt_state=opt_state, env_states=env_states,
