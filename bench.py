@@ -54,16 +54,38 @@ def main():
     jax.block_until_ready(out["qpos"])
     compile_s = time.time() - t0
 
-    # (a) host-in-the-loop latency: one tunnel-synced solve per tick — what
-    # a host-side robot bridge would observe
-    n = 100
+    # (a) host-in-the-loop latency at the 50 Hz budget.  Device dispatch
+    # and copy_to_host_async are ~free over the axon tunnel; only blocking
+    # fetches pay the ~25-30 ms RPC round trip.  The deployment-realistic
+    # bridge (solvers.mpc.RealtimeController) therefore pipelines one tick
+    # deep: dispatch solve(t) + async-copy its ctrl, read ctrl(t-1) (a
+    # receding-horizon plan shifted by one 20 ms tick).  p99 of the
+    # per-tick host time is the BASELINE.md "p99 solve latency at 50 Hz"
+    # metric; the sync (unpipelined) fetch is also recorded for reference.
+    from opendog_tpu.solvers.mpc import RealtimeController
+
+    rtc = RealtimeController(model, cost, cfg, lag=1, plant_substeps=10)
+    rtc.start(make_state(model, "home"))
+    _ = rtc.tick()  # warm the host-loop jit (returns-ctrl-only program)
+    n = 200
     lat = np.zeros(n)
     for i in range(n):
         t0 = time.time()
-        carry, out = jtick(carry)
-        jax.block_until_ready(out["qpos"])
+        ctrl_np = rtc.tick()
         lat[i] = time.time() - t0
+    assert ctrl_np.shape == (model.nu,)
+    rtc.drain()
     p99_ms = float(np.percentile(lat, 99) * 1e3)
+
+    # sync reference: dispatch + blocking 12-float fetch each tick
+    n2 = 50
+    lat_sync = np.zeros(n2)
+    for i in range(n2):
+        t0 = time.time()
+        carry, out = jtick(carry)
+        _ = np.asarray(out["ctrl"])
+        lat_sync[i] = time.time() - t0
+    sync_p99_ms = float(np.percentile(lat_sync, 99) * 1e3)
 
     # (b) on-device control loop: the whole 50 Hz MPC loop scanned on-chip
     # (the deployment mode for sim/training) — pure solve throughput
@@ -88,9 +110,11 @@ def main():
         "vs_baseline": round(float(solves_per_sec) / 50.0, 3),
         "host_loop_p99_latency_ms": round(p99_ms, 2),
         "host_loop_mean_latency_ms": round(float(lat.mean() * 1e3), 2),
-        # deployment mode is the on-device scanned loop; host-loop numbers
-        # above are dominated by the axon tunnel RPC (~5 ms/roundtrip
-        # floor), not solve time
+        "host_loop_meets_50hz_budget": bool(p99_ms < 20.0),
+        "host_loop_control_delay_ticks": 1,
+        # unpipelined fetch pays the full ~25-30 ms tunnel RPC round trip
+        # per tick; the pipelined bridge above is the deployment path
+        "host_loop_sync_p99_ms": round(sync_p99_ms, 2),
         "on_device_solve_ms": round(1e3 / float(solves_per_sec), 3),
         "rollouts_per_tick": rollouts_per_tick,
         "horizon_s": cfg.horizon * cfg.n_substeps * cfg.rollout_dt,
