@@ -4,6 +4,7 @@ from __future__ import annotations
 import functools
 
 from .go1 import go1_xml
+from .mini import mini_xml
 from .opendog import opendog_xml
 
 
@@ -21,3 +22,11 @@ def load_go1(scene: str = "flat", **overrides):
     from ..physics.mjcf import load_model
 
     return load_model(go1_xml(scene), **overrides)
+
+
+@functools.lru_cache(maxsize=None)
+def load_mini(**overrides):
+    """Minimal 2-leg test robot (fast-compiling fused-kernel fixture)."""
+    from ..physics.mjcf import load_model
+
+    return load_model(mini_xml(), **overrides)

@@ -661,10 +661,16 @@ def _arrow_solve_scalar(Aent, b, base, chains, zero):
     leg_inv = []
     for g in range(G):
         idx = [int(v) for v in chains[g]]
-        if n == 2:
+        if n == 1:
+            a_ = get(idx[0], idx[0])
+            safe = jnp.where(jnp.abs(a_) < 1e-12,
+                             jnp.where(a_ < 0, -1e-12, 1e-12), a_)
+            inv = ((1.0 / safe,),)
+        elif n == 2:
             a_, b_, d_ = get(idx[0], idx[0]), get(idx[0], idx[1]), get(idx[1], idx[1])
             det = a_ * d_ - b_ * b_
-            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            det = jnp.where(jnp.abs(det) < 1e-12,
+                            jnp.where(det < 0, -1e-12, 1e-12), det)
             inv = ((d_ / det, -b_ / det), (-b_ / det, a_ / det))
         elif n == 3:
             m00, m01, m02 = get(idx[0], idx[0]), get(idx[0], idx[1]), get(idx[0], idx[2])
@@ -676,7 +682,8 @@ def _arrow_solve_scalar(Aent, b, base, chains, zero):
             c12 = m01 * m02 - m00 * m12
             c22 = m00 * m11 - m01 * m01
             det = m00 * c00 + m01 * c01 + m02 * c02
-            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            det = jnp.where(jnp.abs(det) < 1e-12,
+                            jnp.where(det < 0, -1e-12, 1e-12), det)
             inv = (
                 (c00 / det, c01 / det, c02 / det),
                 (c01 / det, c11 / det, c12 / det),

@@ -369,6 +369,26 @@ def load_model(source: str, dtype=jnp.float32, **overrides) -> Model:
                 add_sphere(body_idx, centroid, brad, fr, name, mesh_verts=verts_b, solref=solref)
             return
 
+        if gtype in ("capsule", "cylinder") and fromto is not None:
+            # MuJoCo fromto form: size = (radius,); derive the frame from
+            # the segment (mjcf 'fromto' semantics)
+            p1f, p2f = fromto[:3], fromto[3:]
+            seg = p2f - p1f
+            hl = float(np.linalg.norm(seg)) / 2.0
+            pos = (p1f + p2f) / 2.0
+            z = seg / max(np.linalg.norm(seg), 1e-12)
+            # quat rotating +z onto the segment axis
+            c = float(np.clip(z[2], -1.0, 1.0))
+            if c > 1.0 - 1e-9:
+                quat = np.array([1.0, 0, 0, 0])
+            elif c < -1.0 + 1e-9:
+                quat = np.array([0.0, 1.0, 0, 0])
+            else:
+                ax = np.cross([0.0, 0, 1], z)
+                ax = ax / np.linalg.norm(ax)
+                half = np.arccos(c) / 2.0
+                quat = np.array([np.cos(half), *(np.sin(half) * ax)])
+            size = np.array([float(size[0]), hl, 0.0])
         if mass is not None and gtype in ("sphere", "capsule", "cylinder", "box"):
             m = float(mass)
             I = _primitive_inertia(gtype, size, m)
