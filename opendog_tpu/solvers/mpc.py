@@ -89,16 +89,18 @@ def make_mpc(
 class RealtimeController:
     """Host-side pipelined MPC tick for a robot bridge at a 50 Hz budget.
 
-    Remote-TPU device->host fetches are latency-bound (~25-30 ms RTT over
-    the axon tunnel) while dispatch and ``copy_to_host_async`` are ~free
-    and overlap, so the controller runs the solve pipeline ``lag`` ticks
-    deep: ``tick(state)`` dispatches solve(t) against the measured plant
-    state, starts an async host copy of its first action, and returns
-    ctrl(t-lag) — already staged on the host, so the read doesn't block on
-    the network.  Receding-horizon MPC is robust to acting on a plan from
-    ``lag`` ticks ago (the nominal is shifted each solve); the reference's
-    own hardware loop tolerates 80 ms control periods
-    (``sim2real/run_robot.py:37``).
+    Remote-TPU device->host fetches are latency-bound (~40 ms RTT over
+    the axon tunnel, measured) while dispatch is ~0.01 ms and
+    ``copy_to_host_async`` genuinely overlaps with host wall time, so the
+    controller runs the solve pipeline ``lag`` ticks deep: ``tick(state)``
+    dispatches solve(t) against the measured plant state, starts an async
+    host copy of its first action, and returns ctrl(t-lag).  In a control
+    loop paced at the tick period, that copy has had ``lag`` ticks of wall
+    time to land — pick ``lag >= ceil(RTT / tick_period) + 1`` (3 at 50 Hz
+    over the tunnel) and the read is ~0.2 ms.  Receding-horizon MPC is
+    robust to acting on a plan from ``lag`` ticks ago (the nominal is
+    shifted each solve); the reference's own hardware loop tolerates 80 ms
+    control periods (``sim2real/run_robot.py:37``).
 
     With ``state=None`` the controller advances an internal on-device
     plant instead (benchmark mode — the bench.py host-loop metric).
