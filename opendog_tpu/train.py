@@ -9,6 +9,13 @@ Reproduces both reference training entry points on the TPU-native stack:
   * ``sym`` / ``terrain``   — the custom sim2real stack (plain-PG loss,
     update each 2048 samples x 10 epochs, adaptive lr/entropy/action-std,
     periodic checkpoint + walk.json export; sim2real/train.py:498-598).
+
+Every ``eval_interval`` chunks a deterministic eval episode runs on a
+dedicated eval env (SB3 EvalCallback, train/train.py:142-149): metrics go
+to TB/JSONL under ``eval/``, the best-return params are kept in
+``<run>/best/`` (best_model.zip analog), and — every ``video_interval``
+evals — the eval episode is written out as a GIF
+(train/VideoRecorder.py:33-77).
 """
 from __future__ import annotations
 
@@ -32,6 +39,7 @@ from .envs import (
 )
 from .rl import Hyper, MLPActorCritic, PPOConfig, make_ppo
 from .rl.adaptive import AdaptiveState
+from .rl.evaluate import make_eval
 from .sim2real import gait_json
 from .utils.checkpoint import Checkpointer
 from .utils.metrics import MetricsWriter
@@ -64,6 +72,9 @@ def train(
     save_interval: int = 10,
     minibatch_size: int = 512,
     num_epochs: int = 10,
+    eval_interval: int = 10,
+    video_interval: int = 5,   # every Nth eval also records a GIF
+    eval_steps: int = 500,
 ):
     spec = TASKS[task]
     model = spec["model"]()
@@ -82,8 +93,13 @@ def train(
     run_dir = os.path.join(out_dir, f"{task}_{seed}")
     writer = MetricsWriter(run_dir)
     ck = Checkpointer(os.path.join(run_dir, "ckpt"))
+    ck_best = Checkpointer(os.path.join(run_dir, "best"), max_to_keep=1)
     adaptive = AdaptiveState()
     use_adaptive = spec["loss"] == "plain"
+    jeval = jax.jit(make_eval(env, net, eval_steps))
+    eval_key = jax.random.PRNGKey(seed + 1000)
+    best_return = -float("inf")
+    n_evals = 0
 
     for i in range(total_chunks):
         hyper = Hyper(lr=jnp.float32(adaptive.lr),
@@ -105,6 +121,27 @@ def train(
                 ))
         print(f"chunk {i}: reward/env {metrics['sum_reward_per_env']:.2f} "
               f"lr {adaptive.lr:.1e}", flush=True)
+        if eval_interval and (i + 1) % eval_interval == 0:
+            eval_key, sub = jax.random.split(eval_key)
+            emetrics, ephysics = jeval(state.params, sub)
+            emetrics = {k: float(v) for k, v in emetrics.items()}
+            writer.write(i, emetrics, prefix="eval")
+            n_evals += 1
+            print(f"  eval: return {emetrics['episode_return']:.2f} "
+                  f"len {emetrics['episode_len']:.0f} "
+                  f"fwd_x {emetrics['forward_x']:.3f} m", flush=True)
+            if emetrics["episode_return"] > best_return:
+                best_return = emetrics["episode_return"]
+                ck_best.save(i + 1, jax.device_get(state.params),
+                             force=True)
+            if video_interval and n_evals % video_interval == 0:
+                from .utils.render import record_rollout
+                ephysics = jax.device_get(ephysics)
+                n_fr = max(1, int(emetrics["episode_len"]))
+                ephysics = jax.tree.map(lambda x: x[:n_fr][::4], ephysics)
+                record_rollout(model, ephysics,
+                               os.path.join(run_dir, f"eval_{i + 1}.gif"),
+                               fps=12)
         if (i + 1) % save_interval == 0:
             ck.save(i + 1, jax.device_get(state.params))
             if task == "sym":
@@ -118,6 +155,7 @@ def train(
     ck.save(total_chunks, jax.device_get(state.params), force=True)
     writer.close()
     ck.close()
+    ck_best.close()
     return state
 
 
@@ -129,9 +167,14 @@ def main():
     p.add_argument("--chunks", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="runs")
+    p.add_argument("--eval_interval", type=int, default=10)
+    p.add_argument("--video_interval", type=int, default=5)
+    p.add_argument("--eval_steps", type=int, default=500)
     args = p.parse_args()
     train(args.task, n_envs=args.n_envs, n_steps=args.n_steps,
-          total_chunks=args.chunks, out_dir=args.out, seed=args.seed)
+          total_chunks=args.chunks, out_dir=args.out, seed=args.seed,
+          eval_interval=args.eval_interval,
+          video_interval=args.video_interval, eval_steps=args.eval_steps)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,47 @@ def test_adaptive_scheduler_reference_semantics():
     # clamping
     assert AdaptiveState.clamp_log_std(0.0, 10.0) == np.log(0.5)
     assert AdaptiveState.clamp_log_std(0.0, -10.0) == np.log(0.10)
+
+
+def test_eval_deterministic_and_freezes_after_termination():
+    """make_eval (EvalCallback analog, train/train.py:142-149): the eval
+    episode is deterministic (same params+key -> identical metrics), stops
+    accumulating reward at termination, and returns a physics trajectory
+    whose frames are frozen after episode end."""
+    from opendog_tpu.rl.evaluate import make_eval
+
+    env = _tiny_env()
+    net = MLPActorCritic(action_dim=8, hidden=(16, 16))
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, env.obs_size)))
+    eval_fn = jax.jit(make_eval(env, net, n_steps=40))
+    m1, phys1 = eval_fn(params, jax.random.PRNGKey(3))
+    m2, phys2 = eval_fn(params, jax.random.PRNGKey(3))
+    assert float(m1["episode_return"]) == float(m2["episode_return"])
+    n = int(m1["episode_len"])
+    assert 0 < n <= 40
+    assert np.isfinite(float(m1["forward_x"]))
+    qpos = np.asarray(phys1.qpos)
+    assert qpos.shape[0] == 40
+    if n < 40:  # frozen tail: all post-termination frames identical
+        np.testing.assert_array_equal(qpos[n], qpos[-1])
+
+
+def test_train_entry_eval_best_and_video(tmp_path):
+    """train() end-to-end with eval/best-model/video enabled: runs 2 tiny
+    chunks, writes eval metrics, a best/ checkpoint, and an eval GIF."""
+    import os
+
+    from opendog_tpu.train import train
+
+    train("walk", n_envs=2, n_steps=8, total_chunks=2,
+          out_dir=str(tmp_path), seed=0, save_interval=2,
+          minibatch_size=8, num_epochs=1, eval_interval=1,
+          video_interval=2, eval_steps=10)
+    run = tmp_path / "walk_0"
+    assert (run / "best").exists() and any((run / "best").iterdir())
+    gifs = [f for f in os.listdir(run) if f.startswith("eval_")
+            and f.endswith(".gif")]
+    assert gifs, os.listdir(run)
+    lines = (run / "metrics.jsonl").read_text().splitlines()
+    assert any("eval/episode_return" in ln for ln in lines)
