@@ -43,22 +43,52 @@ class DistillState:
 def make_distiller(
     model,
     step_cost: Callable,
-    obs_fn: Callable,  # (qpos, qvel) -> observation vector
+    obs_fn: Callable,  # (qpos, qvel, time) -> observation vector
     network,
     mppi_config: mppi.MPPIConfig = mppi.MPPIConfig(),
     config: DistillConfig = DistillConfig(),
     plant_substeps: int = 10,
+    action_ref_fn: Callable = None,  # (time,) -> (nu,) feed-forward ref
 ):
-    """Returns (init, round_fn) where ``round_fn(dstate, plant_states) ->
-    (dstate, plant_states, metrics)`` runs one DAgger round: batched MPC
-    experts label every visited state; the student trains on the labels."""
+    """Returns (init, round_fn, eval_fn).
+
+    ``round_fn(dstate, plant_states, round_idx)`` runs one DAgger round:
+    batched MPC experts label every visited state; the student trains on
+    the labels; the student progressively drives (beta = beta_decay^round).
+
+    ``eval_fn(dstate, plant_states, ticks)`` is the proof rollout: the
+    STUDENT drives every scenario for ``ticks`` control periods while the
+    expert labels each visited state in parallel — returns per-tick trunk
+    trajectories plus student-vs-expert action RMSE along the student's own
+    trajectory (the honest imitation metric: on-distribution for the
+    student, not for the expert).
+
+    With ``action_ref_fn`` the student learns the RESIDUAL around a
+    feed-forward reference (e.g. ``costs.trot_gait_ref``): labels are
+    ``expert - u_ref(t)`` and the deployed action is ``net(obs) +
+    u_ref(t)`` — the same policy decomposition as the reference's
+    phase-conditioned symmetric gait (deltas around the stand pose,
+    sim2real/train.py:235-285), and a far easier regression target than
+    the full expert action."""
     solve = mppi.make_solver(model, step_cost, mppi_config)
     tx = optax.adam(config.lr)
     S = config.num_scenarios
+    lo, hi = jnp.asarray(model.actuator_ctrlrange).T
+
+    def _ref(t):
+        if action_ref_fn is None:
+            return jnp.zeros((model.nu,))
+        return action_ref_fn(t)
+
+    def student_act(params, obs, t):
+        out = network.apply(params, obs)
+        pred = out[0] if isinstance(out, tuple) else out
+        return jnp.clip(pred + jax.vmap(_ref)(t), lo, hi)
 
     def init(key, example_state: State):
         k1, k2 = jax.random.split(key)
-        obs = obs_fn(example_state.qpos, example_state.qvel)
+        obs = obs_fn(example_state.qpos, example_state.qvel,
+                     example_state.time)
         params = network.init(k1, obs[None])
         return DistillState(params=params, opt_state=tx.init(params), key=k2)
 
@@ -71,24 +101,53 @@ def make_distiller(
             expert_ctrl, mstates, _ = jax.vmap(solve)(
                 plants, mstates, jax.random.split(k1, S)
             )
-            obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel)
-            student_ctrl = network.apply(dstate.params, obs)[0] \
-                if isinstance(network.apply(dstate.params, obs), tuple) \
-                else network.apply(dstate.params, obs)
+            obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel, plants.time)
+            student_ctrl = student_act(dstate.params, obs, plants.time)
             drive_expert = jax.random.bernoulli(k2, beta, (S, 1))
             ctrl = jnp.where(drive_expert, expert_ctrl, student_ctrl)
+            label = expert_ctrl - jax.vmap(_ref)(plants.time)
             plants, _ = jax.vmap(
                 lambda s, c: dynamics.step(model, s, c, None,
                                            n_substeps=plant_substeps)
             )(plants, ctrl)
-            return (plants, mstates, key), (obs, expert_ctrl)
+            return (plants, mstates, key), \
+                (obs, label, student_ctrl, plants.qpos)
 
-        (plants, mppi_states, key), (obs, labels) = jax.lax.scan(
-            tick, (plants, mppi_states, dstate.key), None,
-            length=config.rollout_ticks,
-        )
+        (plants, mppi_states, key), (obs, labels, student, qpos) = \
+            jax.lax.scan(
+                tick, (plants, mppi_states, dstate.key), None,
+                length=config.rollout_ticks,
+            )
         return plants, mppi_states, key, obs.reshape(-1, obs.shape[-1]), \
             labels.reshape(-1, labels.shape[-1])
+
+    def eval_fn(dstate: DistillState, plants: State, ticks: int):
+        mppi_states = jax.vmap(
+            lambda _: mppi.init_state(model, mppi_config))(jnp.arange(S))
+
+        def tick(carry, _):
+            plants, mstates, key = carry
+            key, k1 = jax.random.split(key)
+            expert_ctrl, mstates, _ = jax.vmap(solve)(
+                plants, mstates, jax.random.split(k1, S)
+            )
+            obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel, plants.time)
+            ctrl = student_act(dstate.params, obs, plants.time)  # STUDENT
+            plants, _ = jax.vmap(
+                lambda s, c: dynamics.step(model, s, c, None,
+                                           n_substeps=plant_substeps)
+            )(plants, ctrl)
+            err2 = jnp.mean(jnp.square(ctrl - expert_ctrl))
+            return (plants, mstates, key), (plants.qpos, err2)
+
+        (plants, _, _), (qpos_traj, err2) = jax.lax.scan(
+            tick, (plants, mppi_states, dstate.key), None, length=ticks)
+        return dict(
+            qpos_traj=qpos_traj,                      # (ticks, S, nq)
+            action_rmse=jnp.sqrt(jnp.mean(err2)),
+            final_x=plants.qpos[:, 0],
+            final_z=plants.qpos[:, 2],
+        )
 
     def train_on(dstate: DistillState, obs, labels, key):
         n = obs.shape[0]
@@ -134,4 +193,4 @@ def make_distiller(
         dstate, loss = train_on(dstate.replace(key=key), obs, labels, sub)
         return dstate, plants, dict(distill_loss=loss, beta=beta)
 
-    return init, round_fn
+    return init, round_fn, eval_fn

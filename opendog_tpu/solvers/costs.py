@@ -143,3 +143,42 @@ def trot_cost(model, params: TrotCostParams, home_joint_qpos,
                 + c_rate)
 
     return step_cost
+
+
+def trot_gait_ref(model, params: TrotCostParams, home_joint_qpos,
+                  legs: str = "go1"):
+    """Phase-referenced trot joint targets in ACTUATOR order — the
+    feed-forward gait the trot cost pulls toward (same thigh/knee reference
+    formulas as ``trot_cost``).  Used as the residual base for MPC->policy
+    distillation (the student learns expert - u_ref, the same decomposition
+    as the reference's phase-conditioned symmetric policy around its stand
+    pose, sim2real/train.py:235-285) and for open-loop gait playback."""
+    home_j = jnp.asarray(home_joint_qpos, jnp.float32)
+    if legs == "go1":
+        thigh_idx = np.array([1, 4, 7, 10])
+        knee_idx = np.array([2, 5, 8, 11])
+        diag_sign = np.array([1.0, -1.0, -1.0, 1.0])
+        knee_dir = -1.0
+        thigh_dir = -params.thigh_phase
+    else:
+        thigh_idx = np.array([0, 2, 4, 6])
+        knee_idx = np.array([1, 3, 5, 7])
+        diag_sign = np.array([-1.0, 1.0, 1.0, -1.0])
+        knee_dir = -1.0
+        thigh_dir = params.thigh_phase
+    qadr = np.asarray(model.actuator_qposadr) - 7  # actuator -> joint index
+    sign = jnp.asarray(diag_sign)
+
+    def u_ref(t):
+        phase = 2.0 * jnp.pi * t / params.period_s
+        s = jnp.sin(phase)
+        swing = jnp.where(sign > 0, jnp.maximum(s, 0.0),
+                          jnp.maximum(-s, 0.0))
+        joints_ref = home_j
+        joints_ref = joints_ref.at[thigh_idx].set(
+            home_j[thigh_idx] + thigh_dir * params.thigh_amp * sign * s)
+        joints_ref = joints_ref.at[knee_idx].set(
+            home_j[knee_idx] + knee_dir * params.knee_lift * swing)
+        return joints_ref[qadr]
+
+    return u_ref

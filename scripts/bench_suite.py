@@ -286,7 +286,7 @@ def main():
         m = load_opendog("flat")
         home_joints = np.asarray(m.key_qpos[0])[7:]
         cost = costs.standing_cost(m, 0.065, home_joints)
-        obs_fn = lambda qp, qv: jnp.concatenate([qp[2:], qv])
+        obs_fn = lambda qp, qv, t: jnp.concatenate([qp[2:], qv])
         net = MLPActorCritic(action_dim=m.nu, hidden=(64, 64))
         dcfg = DistillConfig(num_scenarios=8, rollout_ticks=50,
                              batch_size=64, epochs_per_round=4)
@@ -294,7 +294,7 @@ def main():
                           rollout_dt=0.01,
                           engine=("pallas" if jax.default_backend() != "cpu"
                                   else "xla"))
-        init, round_fn = make_distiller(m, cost, obs_fn, net,
+        init, round_fn, eval_fn = make_distiller(m, cost, obs_fn, net,
                                         mppi_config=mcfg, config=dcfg,
                                         plant_substeps=10)
         s0 = make_state(m, "home")

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""MPC -> policy distillation PROOF (BASELINE.json config 5, VERDICT #8).
+
+Distills the go1 trot-tracking MPPI expert (the bench.py headline
+controller) into a compact MLP via DAgger (`rl/distill.py`), then proves
+the student with a student-only rollout: the policy must keep the robot
+upright for 500 control ticks (10 s at 50 Hz) and carry it >= 1 m forward
+with no expert in the loop, while the expert labels the student's own
+trajectory to report the honest imitation RMSE.
+
+Artifacts: runs/distill_go1/{student.msgpack, metrics.json, student.gif}.
+Run on the TPU (several minutes of compiles); CPU works but is slow.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=14)
+    ap.add_argument("--scenarios", type=int, default=8)
+    ap.add_argument("--ticks", type=int, default=100)
+    ap.add_argument("--eval_ticks", type=int, default=500)
+    ap.add_argument("--out", default="runs/distill_go1")
+    ap.add_argument("--gif", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from opendog_tpu.assets import load_go1
+    from opendog_tpu.physics import State, make_state
+    from opendog_tpu.rl.distill import DistillConfig, make_distiller
+    from opendog_tpu.rl.networks import MLPActorCritic
+    from opendog_tpu.solvers import MPPIConfig, costs
+
+    m = load_go1("flat")
+    home_j = np.asarray(m.key_qpos[0])[7:]
+    params_cost = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                       target_height=0.265)
+    cost = costs.trot_cost(m, params_cost, home_j, legs="go1")
+    u_ref = costs.trot_gait_ref(m, params_cost, home_j, legs="go1")
+    period = params_cost.period_s
+
+    def obs_fn(qpos, qvel, t):
+        """Translation-invariant state + explicit gait phase (the expert's
+        cost is phase-referenced via state.time, so the student must see
+        the phase; the reference's sym policy gets sin/cos phase the same
+        way, sim2real/train.py:164)."""
+        phase = 2.0 * jnp.pi * t / period
+        return jnp.concatenate([
+            qpos[2:7],                   # z + quat
+            qpos[7:],                    # joints
+            qvel[:6] * 0.25,             # base twist (scaled)
+            qvel[6:] * 0.1,              # joint vels (scaled)
+            jnp.array([jnp.sin(phase), jnp.cos(phase)]),
+        ])
+
+    net = MLPActorCritic(action_dim=m.nu, hidden=(512, 256),
+                         squash_mean=False)
+    S = args.scenarios
+    dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
+                         rounds=args.rounds, lr=1e-3, batch_size=512,
+                         epochs_per_round=8, beta_decay=0.7)
+    engine = "pallas" if jax.default_backend() != "cpu" else "xla"
+    mcfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
+                      rollout_dt=0.01, noise_sigma=0.12, temperature=0.3,
+                      engine=engine)
+    init, round_fn, eval_fn = make_distiller(
+        m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
+        plant_substeps=10, action_ref_fn=u_ref)
+
+    s0 = make_state(m, "home")
+    # per-scenario start randomization (joint pose + base height jitter)
+    # so the 8 experts cover distinct state tubes
+    kq = jax.random.split(jax.random.PRNGKey(7), S)
+    def jitter(key, qpos):
+        kj, kz = jax.random.split(key)
+        qpos = qpos.at[7:].add(
+            0.03 * jax.random.normal(kj, (m.nq - 7,)))
+        return qpos.at[2].add(0.01 * jax.random.normal(kz, ()))
+    qpos0 = jax.vmap(jitter, in_axes=(0, None))(kq, s0.qpos)
+    plants = State(qpos=qpos0, qvel=jnp.zeros((S, m.nv)),
+                   time=jnp.zeros(S))
+    plants0 = plants
+    dstate = init(jax.random.PRNGKey(0), s0)
+    jround = jax.jit(round_fn, static_argnums=2)
+    t0 = time.time()
+    for r in range(args.rounds):
+        dstate, plants, metrics = jround(dstate, plants, r)
+        loss = float(metrics["distill_loss"])
+        print(f"round {r}: loss {loss:.4f} beta {float(metrics['beta']):.3f}"
+              f" ({time.time() - t0:.0f}s)", flush=True)
+        # fresh starts each round so the buffer keeps covering the
+        # early-transient states too
+        if (r + 1) % 4 == 0:
+            plants = plants0
+
+    print("student-only eval rollout...", flush=True)
+    out = jax.jit(eval_fn, static_argnums=2)(dstate, plants0,
+                                             args.eval_ticks)
+    qpos_traj = np.asarray(out["qpos_traj"])        # (T, S, nq)
+    z = qpos_traj[:, :, 2]
+    upright = (z > 0.12) & (z < 0.45)               # go1 healthy band
+    upright_ticks = int(upright.all(axis=1).cumprod().sum())
+    fx = np.asarray(out["final_x"])
+    res = dict(
+        rounds=args.rounds,
+        final_loss=loss,
+        action_rmse=float(out["action_rmse"]),
+        eval_ticks=args.eval_ticks,
+        upright_ticks_all_scenarios=upright_ticks,
+        upright_full_run=bool(upright_ticks == args.eval_ticks),
+        forward_x_mean=float(fx.mean()),
+        forward_x_min=float(fx.min()),
+        walks_1m_in_10s=bool(fx.min() >= 1.0 and
+                             upright_ticks == args.eval_ticks),
+        wall_s=round(time.time() - t0, 1),
+    )
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    with open(os.path.join(args.out, "student.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(dstate.params)))
+    print(json.dumps(res), flush=True)
+
+    if args.gif:
+        from opendog_tpu.utils.render import record_rollout
+
+        states = State(
+            qpos=jnp.asarray(qpos_traj[::4, 0]),
+            qvel=jnp.zeros((qpos_traj[::4].shape[0], m.nv)),
+            time=jnp.zeros(qpos_traj[::4].shape[0]))
+        record_rollout(m, states, os.path.join(args.out, "student.gif"),
+                       fps=12)
+        print("wrote student.gif", flush=True)
+
+
+if __name__ == "__main__":
+    main()

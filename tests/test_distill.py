@@ -19,13 +19,13 @@ def test_distill_round_trains_student():
     m = load_opendog("flat")
     home_joints = np.asarray(m.key_qpos[0])[7:]
     cost = costs.standing_cost(m, 0.065, home_joints)
-    obs_fn = lambda qp, qv: jnp.concatenate([qp[2:], qv])
+    obs_fn = lambda qp, qv, t: jnp.concatenate([qp[2:], qv])
     net = MLPActorCritic(action_dim=m.nu, hidden=(32, 32))
     dcfg = DistillConfig(num_scenarios=2, rollout_ticks=3, rounds=1,
                          batch_size=4, epochs_per_round=2)
     mcfg = MPPIConfig(horizon=4, num_samples=8, n_substeps=1,
                       rollout_dt=0.01)
-    init, round_fn = make_distiller(m, cost, obs_fn, net,
+    init, round_fn, eval_fn = make_distiller(m, cost, obs_fn, net,
                                     mppi_config=mcfg, config=dcfg,
                                     plant_substeps=2)
     s0 = make_state(m, "home")
@@ -42,3 +42,31 @@ def test_distill_round_trains_student():
     assert float(metrics["beta"]) == 1.0
     after = jax.tree.leaves(dstate.params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_distill_eval_rollout_reports_rmse_and_trajectory():
+    """eval_fn: student-only rollout with on-trajectory expert labeling —
+    the proof harness for the distilled policy (BASELINE config 5)."""
+    m = load_opendog("flat")
+    home_joints = np.asarray(m.key_qpos[0])[7:]
+    cost = costs.standing_cost(m, 0.065, home_joints)
+    obs_fn = lambda qp, qv, t: jnp.concatenate([qp[2:], qv])
+    net = MLPActorCritic(action_dim=m.nu, hidden=(16, 16))
+    dcfg = DistillConfig(num_scenarios=2, rollout_ticks=2, batch_size=4,
+                         epochs_per_round=1)
+    mcfg = MPPIConfig(horizon=3, num_samples=8, n_substeps=1,
+                      rollout_dt=0.01)
+    init, round_fn, eval_fn = make_distiller(m, cost, obs_fn, net,
+                                             mppi_config=mcfg, config=dcfg,
+                                             plant_substeps=2)
+    s0 = make_state(m, "home")
+    plants = State(qpos=jnp.tile(s0.qpos[None], (2, 1)),
+                   qvel=jnp.zeros((2, m.nv)), time=jnp.zeros(2))
+    dstate = init(jax.random.PRNGKey(0), s0)
+    out = jax.jit(eval_fn, static_argnums=2)(dstate, plants, 4)
+    assert out["qpos_traj"].shape == (4, 2, m.nq)
+    assert np.isfinite(float(out["action_rmse"]))
+    assert out["final_x"].shape == (2,)
+    # student actions are clipped into ctrlrange by construction
+    rng = np.asarray(m.actuator_ctrlrange)
+    assert np.all(np.isfinite(np.asarray(out["final_z"])))
