@@ -308,10 +308,18 @@ def main():
         dstate, plants, metrics = jround(dstate, plants, 0)
         loss = fetch(metrics["distill_loss"])
         dt = time.time() - t0
+        # student-only proof rollout (100 ticks = 2 s): upright fraction +
+        # on-trajectory imitation RMSE.  The full 500-tick walking proof
+        # is scripts/distill_walk.py -> runs/distill_go1/metrics.json.
+        ev = jax.jit(eval_fn, static_argnums=2)(dstate, plants, 100)
+        zs = np.asarray(ev["qpos_traj"])[:, :, 2]
         record("5_distill_round",
                round_seconds=round(dt, 2),
                expert_labels_per_sec=round(8 * 50 / dt, 1),
                distill_loss=round(loss, 4),
+               student_action_rmse=round(fetch(ev["action_rmse"]), 4),
+               student_upright_frac=round(
+                   float(((zs > 0.03) & (zs < 0.25)).mean()), 3),
                healthy=bool(np.isfinite(loss)))
 
     with open(args.out, "w") as f:
