@@ -75,6 +75,31 @@ def make_distiller(
     S = config.num_scenarios
     lo, hi = jnp.asarray(model.actuator_ctrlrange).T
 
+    if mppi_config.engine == "pallas":
+        # Plant MUST integrate through the same engine as the expert's
+        # rollouts: mixing the fused kernel (planner) with the op-graph
+        # plant is a model mismatch that makes the robot slide (the same
+        # rule as solvers/mpc.py:46-53).
+        from ..ops.pallas_step import build_pallas_substep
+
+        _plant_sub = build_pallas_substep(
+            model, float(model.timestep), k_tile=S,
+            n_substeps=plant_substeps)
+
+        def plant_step(plants: State, ctrl):
+            qp, qv = _plant_sub(plants.qpos.T, plants.qvel.T, ctrl.T)
+            return State(qpos=qp.T, qvel=qv.T,
+                         time=plants.time
+                         + plant_substeps * float(model.timestep))
+    else:
+
+        def plant_step(plants: State, ctrl):
+            plants2, _ = jax.vmap(
+                lambda s, c: dynamics.step(model, s, c, None,
+                                           n_substeps=plant_substeps)
+            )(plants, ctrl)
+            return plants2
+
     def _ref(t):
         if action_ref_fn is None:
             return jnp.zeros((model.nu,))
@@ -106,10 +131,7 @@ def make_distiller(
             drive_expert = jax.random.bernoulli(k2, beta, (S, 1))
             ctrl = jnp.where(drive_expert, expert_ctrl, student_ctrl)
             label = expert_ctrl - jax.vmap(_ref)(plants.time)
-            plants, _ = jax.vmap(
-                lambda s, c: dynamics.step(model, s, c, None,
-                                           n_substeps=plant_substeps)
-            )(plants, ctrl)
+            plants = plant_step(plants, ctrl)
             return (plants, mstates, key), \
                 (obs, label, student_ctrl, plants.qpos)
 
@@ -133,10 +155,7 @@ def make_distiller(
             )
             obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel, plants.time)
             ctrl = student_act(dstate.params, obs, plants.time)  # STUDENT
-            plants, _ = jax.vmap(
-                lambda s, c: dynamics.step(model, s, c, None,
-                                           n_substeps=plant_substeps)
-            )(plants, ctrl)
+            plants = plant_step(plants, ctrl)
             err2 = jnp.mean(jnp.square(ctrl - expert_ctrl))
             return (plants, mstates, key), (plants.qpos, err2)
 
