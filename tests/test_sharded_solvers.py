@@ -129,8 +129,8 @@ def test_ilqr_horizon_sharded_solve(devices8):
     and matches the unsharded associative solve."""
     m = load_opendog("flat")
     cost = costs.standing_cost(m, 0.0694, np.asarray(m.key_qpos[0])[7:])
-    cfg = ilqr_mod.ILQRConfig(horizon=8, n_substeps=2, rollout_dt=0.004,
-                              iterations=2, riccati="associative")
+    cfg = ilqr_mod.ILQRConfig(horizon=8, n_substeps=1, rollout_dt=0.004,
+                              iterations=1, riccati="associative")
     state = make_state(m, "home")
     U0 = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (cfg.horizon, 1))
 
