@@ -49,6 +49,7 @@ def make_distiller(
     config: DistillConfig = DistillConfig(),
     plant_substeps: int = 10,
     action_ref_fn: Callable = None,  # (time,) -> (nu,) feed-forward ref
+    with_prev_ctrl: bool = False,
 ):
     """Returns (init, round_fn, eval_fn).
 
@@ -69,7 +70,15 @@ def make_distiller(
     u_ref(t)`` — the same policy decomposition as the reference's
     phase-conditioned symmetric gait (deltas around the stand pose,
     sim2real/train.py:235-285), and a far easier regression target than
-    the full expert action."""
+    the full expert action.
+
+    ``with_prev_ctrl`` appends the previously APPLIED ctrl to the
+    observation (the reference envs' last-action term,
+    WalkEnvironment.py:115-136).  This matters for imitating a
+    receding-horizon expert: its action is a function of (state, warm
+    -started plan), and the previous action is the best cheap observable
+    proxy for the hidden plan state — without it the conditional label
+    distribution is wide and the regressed mean washes the gait out."""
     solve = mppi.make_solver(model, step_cost, mppi_config)
     tx = optax.adam(config.lr)
     S = config.num_scenarios
@@ -105,6 +114,17 @@ def make_distiller(
             return jnp.zeros((model.nu,))
         return action_ref_fn(t)
 
+    home_ctrl = jnp.asarray(np.clip(
+        np.asarray(model.key_ctrl[0], np.float32),
+        np.asarray(model.actuator_ctrlrange)[:, 0],
+        np.asarray(model.actuator_ctrlrange)[:, 1]))
+
+    def full_obs(qpos, qvel, t, prev_ctrl):
+        o = obs_fn(qpos, qvel, t)
+        if with_prev_ctrl:
+            o = jnp.concatenate([o, prev_ctrl - home_ctrl])
+        return o
+
     def student_act(params, obs, t):
         out = network.apply(params, obs)
         pred = out[0] if isinstance(out, tuple) else out
@@ -112,8 +132,8 @@ def make_distiller(
 
     def init(key, example_state: State):
         k1, k2 = jax.random.split(key)
-        obs = obs_fn(example_state.qpos, example_state.qvel,
-                     example_state.time)
+        obs = full_obs(example_state.qpos, example_state.qvel,
+                       example_state.time, home_ctrl)
         params = network.init(k1, obs[None])
         return DistillState(params=params, opt_state=tx.init(params), key=k2)
 
@@ -121,23 +141,25 @@ def make_distiller(
         """Scan expert-labeled rollouts across all scenarios."""
 
         def tick(carry, _):
-            plants, mstates, key = carry
+            plants, mstates, key, prev = carry
             key, k1, k2 = jax.random.split(key, 3)
             expert_ctrl, mstates, _ = jax.vmap(solve)(
                 plants, mstates, jax.random.split(k1, S)
             )
-            obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel, plants.time)
+            obs = jax.vmap(full_obs)(plants.qpos, plants.qvel,
+                                     plants.time, prev)
             student_ctrl = student_act(dstate.params, obs, plants.time)
             drive_expert = jax.random.bernoulli(k2, beta, (S, 1))
             ctrl = jnp.where(drive_expert, expert_ctrl, student_ctrl)
             label = expert_ctrl - jax.vmap(_ref)(plants.time)
             plants = plant_step(plants, ctrl)
-            return (plants, mstates, key), \
+            return (plants, mstates, key, ctrl), \
                 (obs, label, student_ctrl, plants.qpos)
 
-        (plants, mppi_states, key), (obs, labels, student, qpos) = \
+        prev0 = jnp.tile(home_ctrl[None], (S, 1))
+        (plants, mppi_states, key, _), (obs, labels, student, qpos) = \
             jax.lax.scan(
-                tick, (plants, mppi_states, dstate.key), None,
+                tick, (plants, mppi_states, dstate.key, prev0), None,
                 length=config.rollout_ticks,
             )
         return plants, mppi_states, key, obs.reshape(-1, obs.shape[-1]), \
@@ -148,19 +170,22 @@ def make_distiller(
             lambda _: mppi.init_state(model, mppi_config))(jnp.arange(S))
 
         def tick(carry, _):
-            plants, mstates, key = carry
+            plants, mstates, key, prev = carry
             key, k1 = jax.random.split(key)
             expert_ctrl, mstates, _ = jax.vmap(solve)(
                 plants, mstates, jax.random.split(k1, S)
             )
-            obs = jax.vmap(obs_fn)(plants.qpos, plants.qvel, plants.time)
+            obs = jax.vmap(full_obs)(plants.qpos, plants.qvel,
+                                     plants.time, prev)
             ctrl = student_act(dstate.params, obs, plants.time)  # STUDENT
             plants = plant_step(plants, ctrl)
             err2 = jnp.mean(jnp.square(ctrl - expert_ctrl))
-            return (plants, mstates, key), (plants.qpos, err2)
+            return (plants, mstates, key, ctrl), (plants.qpos, err2)
 
-        (plants, _, _), (qpos_traj, err2) = jax.lax.scan(
-            tick, (plants, mppi_states, dstate.key), None, length=ticks)
+        prev0 = jnp.tile(home_ctrl[None], (S, 1))
+        (plants, _, _, _), (qpos_traj, err2) = jax.lax.scan(
+            tick, (plants, mppi_states, dstate.key, prev0), None,
+            length=ticks)
         return dict(
             qpos_traj=qpos_traj,                      # (ticks, S, nq)
             action_rmse=jnp.sqrt(jnp.mean(err2)),

@@ -68,12 +68,14 @@ def main():
                          rounds=args.rounds, lr=1e-3, batch_size=512,
                          epochs_per_round=8, beta_decay=0.7)
     engine = "pallas" if jax.default_backend() != "cpu" else "xla"
-    mcfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
-                      rollout_dt=0.01, noise_sigma=0.12, temperature=0.3,
+    # tighter expert posterior (more samples, less exploration noise)
+    # -> more deterministic labels for the regressor
+    mcfg = MPPIConfig(horizon=25, num_samples=512, n_substeps=2,
+                      rollout_dt=0.01, noise_sigma=0.10, temperature=0.2,
                       engine=engine)
     init, round_fn, eval_fn = make_distiller(
         m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
-        plant_substeps=10, action_ref_fn=u_ref)
+        plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True)
 
     s0 = make_state(m, "home")
     # per-scenario start randomization (joint pose + base height jitter)
