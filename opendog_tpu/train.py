@@ -75,6 +75,7 @@ def train(
     eval_interval: int = 10,
     video_interval: int = 5,   # every Nth eval also records a GIF
     eval_steps: int = 500,
+    resume: bool = False,      # warm-start params from <run>/ckpt
 ):
     spec = TASKS[task]
     model = spec["model"]()
@@ -91,6 +92,12 @@ def train(
     jchunk = jax.jit(chunk)
 
     run_dir = os.path.join(out_dir, f"{task}_{seed}")
+    if resume:
+        prev = Checkpointer(os.path.join(run_dir, "ckpt")).restore(
+            template=jax.device_get(state.params))
+        if prev is not None:
+            state = state.replace(params=jax.tree.map(jnp.asarray, prev))
+            print(f"resumed params from {run_dir}/ckpt", flush=True)
     writer = MetricsWriter(run_dir)
     ck = Checkpointer(os.path.join(run_dir, "ckpt"))
     ck_best = Checkpointer(os.path.join(run_dir, "best"), max_to_keep=1)
@@ -170,11 +177,13 @@ def main():
     p.add_argument("--eval_interval", type=int, default=10)
     p.add_argument("--video_interval", type=int, default=5)
     p.add_argument("--eval_steps", type=int, default=500)
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args()
     train(args.task, n_envs=args.n_envs, n_steps=args.n_steps,
           total_chunks=args.chunks, out_dir=args.out, seed=args.seed,
           eval_interval=args.eval_interval,
-          video_interval=args.video_interval, eval_steps=args.eval_steps)
+          video_interval=args.video_interval, eval_steps=args.eval_steps,
+          resume=args.resume)
 
 
 if __name__ == "__main__":
