@@ -23,6 +23,21 @@ from ..solvers import mppi
 from . import networks
 
 
+class Distiller(NamedTuple):
+    """Bundle returned by make_distiller.  ``init/round_fn/eval_fn`` is
+    the simple per-round interface (trains on the latest round only);
+    ``collect`` and ``train_on`` are the pieces for true DAgger dataset
+    AGGREGATION across rounds (scripts/distill_walk.py): collect with the
+    current policy, append to a host-side buffer, train on fixed-size
+    resamples of the whole aggregate."""
+
+    init: Callable
+    round_fn: Callable
+    eval_fn: Callable
+    collect: Callable
+    train_on: Callable
+
+
 class DistillConfig(NamedTuple):
     num_scenarios: int = 8       # parallel MPC experts
     rollout_ticks: int = 50      # expert ticks per round
@@ -237,4 +252,4 @@ def make_distiller(
         dstate, loss = train_on(dstate.replace(key=key), obs, labels, sub)
         return dstate, plants, dict(distill_loss=loss, beta=beta)
 
-    return init, round_fn, eval_fn
+    return Distiller(init, round_fn, eval_fn, collect, train_on)

@@ -294,7 +294,7 @@ def main():
                           rollout_dt=0.01,
                           engine=("pallas" if jax.default_backend() != "cpu"
                                   else "xla"))
-        init, round_fn, eval_fn = make_distiller(m, cost, obs_fn, net,
+        init, round_fn, eval_fn, _, _ = make_distiller(m, cost, obs_fn, net,
                                         mppi_config=mcfg, config=dcfg,
                                         plant_substeps=10)
         s0 = make_state(m, "home")

@@ -25,7 +25,7 @@ def test_distill_round_trains_student():
                          batch_size=4, epochs_per_round=2)
     mcfg = MPPIConfig(horizon=4, num_samples=8, n_substeps=1,
                       rollout_dt=0.01)
-    init, round_fn, eval_fn = make_distiller(m, cost, obs_fn, net,
+    init, round_fn, eval_fn, _, _ = make_distiller(m, cost, obs_fn, net,
                                     mppi_config=mcfg, config=dcfg,
                                     plant_substeps=2)
     s0 = make_state(m, "home")
@@ -56,7 +56,7 @@ def test_distill_eval_rollout_reports_rmse_and_trajectory():
                          epochs_per_round=1)
     mcfg = MPPIConfig(horizon=3, num_samples=8, n_substeps=1,
                       rollout_dt=0.01)
-    init, round_fn, eval_fn = make_distiller(m, cost, obs_fn, net,
+    init, round_fn, eval_fn, _, _ = make_distiller(m, cost, obs_fn, net,
                                              mppi_config=mcfg, config=dcfg,
                                              plant_substeps=2)
     s0 = make_state(m, "home")
