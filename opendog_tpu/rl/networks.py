@@ -5,6 +5,10 @@
     and a learned state-independent log-std (sim2real/train.py:132-149),
   * terrain stack — 1024-512 (train2.py:149-157),
   * SB3 MlpPolicy — 64-64 tanh, no squashing (train/train.py:117).
+``layer_norm_extractor`` adds the reference's (unused-by-default) custom
+features extractor — Linear(50) -> LayerNorm -> ReLU -> Linear(40)
+(train/CurstomNetwork.py:6-17) — shared by both heads, as an SB3
+features_extractor is.
 """
 from __future__ import annotations
 
@@ -21,9 +25,19 @@ class MLPActorCritic(nn.Module):
     hidden: Sequence[int] = (512, 256)
     squash_mean: bool = True
     log_std_init: float = float(np.log(0.4))  # INITIAL_ACTION_STD_INIT
+    # CurstomNetwork.py parity: shared Linear(50)->LayerNorm->ReLU->
+    # Linear(40) features extractor ahead of both heads
+    layer_norm_extractor: bool = False
+    extractor_dims: Tuple[int, int] = (50, 40)
 
     @nn.compact
     def __call__(self, obs: jax.Array):
+        if self.layer_norm_extractor:
+            h0, feat = self.extractor_dims
+            x = nn.Dense(h0)(obs)
+            x = nn.LayerNorm()(x)
+            x = nn.relu(x)
+            obs = nn.Dense(feat)(x)
         a = obs
         for h in self.hidden:
             a = nn.tanh(nn.Dense(h)(a))

@@ -124,3 +124,17 @@ def test_train_entry_eval_best_and_video(tmp_path):
     assert gifs, os.listdir(run)
     lines = (run / "metrics.jsonl").read_text().splitlines()
     assert any("eval/episode_return" in ln for ln in lines)
+
+
+def test_layer_norm_extractor_variant():
+    """CurstomNetwork.py parity: Linear(50)->LayerNorm->ReLU->Linear(40)
+    shared features extractor ahead of both heads."""
+    net = MLPActorCritic(action_dim=8, hidden=(16, 16),
+                         layer_norm_extractor=True)
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 33)))
+    flat = jax.tree_util.tree_leaves_with_path(p)
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("LayerNorm" in n for n in names), names
+    mean, log_std, value = net.apply(p, jnp.zeros((4, 33)))
+    assert mean.shape == (4, 8) and value.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(mean)))
