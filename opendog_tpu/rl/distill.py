@@ -195,14 +195,15 @@ def make_distiller(
             ctrl = student_act(dstate.params, obs, plants.time)  # STUDENT
             plants = plant_step(plants, ctrl)
             err2 = jnp.mean(jnp.square(ctrl - expert_ctrl))
-            return (plants, mstates, key, ctrl), (plants.qpos, err2)
+            return (plants, mstates, key, ctrl), (plants.qpos, ctrl, err2)
 
         prev0 = jnp.tile(home_ctrl[None], (S, 1))
-        (plants, _, _, _), (qpos_traj, err2) = jax.lax.scan(
+        (plants, _, _, _), (qpos_traj, ctrl_traj, err2) = jax.lax.scan(
             tick, (plants, mppi_states, dstate.key, prev0), None,
             length=ticks)
         return dict(
             qpos_traj=qpos_traj,                      # (ticks, S, nq)
+            ctrl_traj=ctrl_traj,                      # (ticks, S, nu)
             action_rmse=jnp.sqrt(jnp.mean(err2)),
             final_x=plants.qpos[:, 0],
             final_z=plants.qpos[:, 2],

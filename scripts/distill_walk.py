@@ -21,11 +21,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--robot", choices=["go1", "opendog"], default="go1")
     ap.add_argument("--rounds", type=int, default=14)
     ap.add_argument("--scenarios", type=int, default=8)
     ap.add_argument("--ticks", type=int, default=100)
     ap.add_argument("--eval_ticks", type=int, default=500)
-    ap.add_argument("--out", default="runs/distill_go1")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--gif", action="store_true")
     args = ap.parse_args()
 
@@ -33,18 +34,29 @@ def main():
     import jax.numpy as jnp
     from flax import serialization
 
-    from opendog_tpu.assets import load_go1
+    from opendog_tpu.assets import load_go1, load_opendog
     from opendog_tpu.physics import State, make_state
     from opendog_tpu.rl.distill import DistillConfig, make_distiller
     from opendog_tpu.rl.networks import MLPActorCritic
     from opendog_tpu.solvers import MPPIConfig, costs
 
-    m = load_go1("flat")
+    if args.robot == "go1":
+        m = load_go1("flat")
+        params_cost = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                           target_height=0.265)
+        z_band = (0.12, 0.45)
+    else:
+        # opendog settles at z=0.0665; small ctrlranges -> small amplitudes
+        m = load_opendog("flat")
+        params_cost = costs.TrotCostParams(desired_vel_xy=(0.3, 0.0),
+                                           target_height=0.0665,
+                                           thigh_amp=0.12, knee_lift=0.25,
+                                           w_height=80.0)
+        z_band = (0.035, 0.12)
+    args.out = args.out or f"runs/distill_{args.robot}"
     home_j = np.asarray(m.key_qpos[0])[7:]
-    params_cost = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
-                                       target_height=0.265)
-    cost = costs.trot_cost(m, params_cost, home_j, legs="go1")
-    u_ref = costs.trot_gait_ref(m, params_cost, home_j, legs="go1")
+    cost = costs.trot_cost(m, params_cost, home_j, legs=args.robot)
+    u_ref = costs.trot_gait_ref(m, params_cost, home_j, legs=args.robot)
     period = params_cost.period_s
 
     def obs_fn(qpos, qvel, t):
@@ -66,7 +78,7 @@ def main():
     S = args.scenarios
     dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
                          rounds=args.rounds, lr=1e-3, batch_size=512,
-                         epochs_per_round=8, beta_decay=0.7)
+                         epochs_per_round=8, beta_decay=0.8)
     engine = "pallas" if jax.default_backend() != "cpu" else "xla"
     # tighter expert posterior (more samples, less exploration noise)
     # -> more deterministic labels for the regressor
@@ -125,15 +137,26 @@ def main():
               flush=True)
         if (r + 1) % 4 == 0:
             plants = plants0
+    # final fit: many more passes over the full aggregate
+    for i in range(10):
+        idx = rng.integers(0, all_obs.shape[0], TRAIN_N)
+        ko = jax.random.PRNGKey(int(rng.integers(1 << 30)))
+        dstate, loss = jtrain(dstate, jnp.asarray(all_obs[idx]),
+                              jnp.asarray(all_lab[idx]), ko)
+    loss = float(loss)
+    print(f"final fit loss {loss:.4f}", flush=True)
 
     print("student-only eval rollout...", flush=True)
     out = jax.jit(eval_fn, static_argnums=2)(dstate, plants0,
                                              args.eval_ticks)
     qpos_traj = np.asarray(out["qpos_traj"])        # (T, S, nq)
     z = qpos_traj[:, :, 2]
-    upright = (z > 0.12) & (z < 0.45)               # go1 healthy band
+    upright = (z > z_band[0]) & (z < z_band[1])
     upright_ticks = int(upright.all(axis=1).cumprod().sum())
     fx = np.asarray(out["final_x"])
+    per_up = upright.all(axis=0)  # per-scenario: upright whole run
+    print("per-scenario fwd_x:", np.round(fx, 2),
+          "upright:", per_up, flush=True)
     res = dict(
         rounds=args.rounds,
         final_loss=loss,
@@ -164,6 +187,23 @@ def main():
         record_rollout(m, states, os.path.join(args.out, "student.gif"),
                        fps=12)
         print("wrote student.gif", flush=True)
+
+    if args.robot == "opendog":
+        # export the student's executed rollout (scenario 0) as a
+        # deployable walk.json through the sim->real calibration map (the
+        # reference's generate_walk_json pipeline, sim2real/train.py:600-636)
+        from opendog_tpu.sim2real.calibration import Calibration
+        from opendog_tpu.sim2real.gait_json import save_gait
+
+        cal = Calibration(m)
+        ctrl_traj = np.asarray(out["ctrl_traj"])[:100, 0]  # (T, 8)
+        deg = np.stack([
+            np.asarray(cal.sim_rad_to_real_deg(
+                jnp.asarray(cal.reorder_from_model(u))))
+            for u in ctrl_traj])
+        save_gait(os.path.join(args.out, "walk_distilled.json"),
+                  [0.02] * deg.shape[0], deg, cal.order)
+        print("wrote walk_distilled.json", flush=True)
 
 
 if __name__ == "__main__":
