@@ -90,6 +90,15 @@ def main():
         plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True)
 
     s0 = make_state(m, "home")
+    # settle onto the ground first (the opendog keyframe starts 13 cm in
+    # the air; envs settle the same way) so starts are physical
+    from opendog_tpu.physics import dynamics as _dyn
+    hold = jnp.asarray(np.clip(np.asarray(m.key_ctrl[0], np.float32),
+                               np.asarray(m.actuator_ctrlrange)[:, 0],
+                               np.asarray(m.actuator_ctrlrange)[:, 1]))
+    s0, _ = jax.jit(lambda st: _dyn.step(m, st, hold, None,
+                                         n_substeps=150))(s0)
+    s0 = State(qpos=s0.qpos, qvel=s0.qvel * 0.0, time=jnp.zeros(()))
     # per-scenario start randomization (joint pose + base height jitter)
     # so the 8 experts cover distinct state tubes
     kq = jax.random.split(jax.random.PRNGKey(7), S)

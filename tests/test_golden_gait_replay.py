@@ -133,3 +133,27 @@ def test_designed_trot_replays_in_both_engines():
     qs = _replay_ours(model, durations, ctrl_model)
     assert np.all(np.isfinite(qs[:, 0]))
     assert qs[:, 2].min() > 0.03
+
+
+def test_distilled_gait_artifact_replays_healthy():
+    """The MPC-distilled opendog gait export (runs/distill_opendog/
+    walk_distilled.json, produced by scripts/distill_walk.py --robot
+    opendog) must replay through the standard real-deg -> sim pipeline
+    with forward progress and a healthy trunk height — the same deploy
+    path as the reference's walk.json."""
+    path = "runs/distill_opendog/walk_distilled.json"
+    if not os.path.exists(path):
+        pytest.skip("distilled gait artifact not present")
+    durations, deg = gait_json.load_gait(path)
+    model = load_opendog("flat")
+    ctrl = gait_json.gait_to_sim_ctrl(model, durations, deg)
+    state = make_state(model, "home")
+    hold = jnp.asarray(model.key_ctrl[0])
+    state, _ = dynamics.step(model, state, hold, None, n_substeps=150)
+    step = jax.jit(lambda s, c: dynamics.step(model, s, c,
+                                              n_substeps=10)[0])
+    for c in ctrl:
+        state = step(state, jnp.asarray(c))
+    assert np.isfinite(np.asarray(state.qpos)).all()
+    assert 0.04 < float(state.qpos[2]) < 0.12
+    assert float(state.qpos[0]) > 0.02  # forward over the 2 s gait
