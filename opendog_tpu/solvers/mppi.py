@@ -81,7 +81,14 @@ def make_solver(
     ``mesh[sample_axis]`` via ``shard_map``: each device rolls out
     K/n_devices candidates and the softmax-weighted update is reduced with
     ``pmin``/``psum`` collectives, bit-comparable (up to reduction order) to
-    the single-device solve (tests/test_sharded_solvers.py)."""
+    the single-device solve (tests/test_sharded_solvers.py).
+
+    PERF: keep the receding-horizon loop ON-DEVICE (``lax.scan`` over
+    ticks, as ``make_mpc(...).run`` does).  Feeding the returned
+    ``MPPIState`` — a shard_map output committed to the mesh — back
+    through a *separate host dispatch* forces a reshard each call
+    (measured ~230 ms/call over the remote-device tunnel vs 1.25 ms/tick
+    scanned on-device)."""
     lo = np.asarray(model.actuator_ctrlrange)[:, 0]
     hi = np.asarray(model.actuator_ctrlrange)[:, 1]
     H, K, nu = config.horizon, config.num_samples, model.nu
