@@ -1,0 +1,92 @@
+"""Canonical trot-distillation setups for the built-in robots.
+
+One place for the (cost, gait reference, observation, network) recipe the
+walking-student proof uses (scripts/distill_walk.py), so tests and apps
+can rebuild the exact policy around a saved ``student.msgpack``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assets import load_go1, load_opendog
+from ..solvers import MPPIConfig, costs
+from .networks import MLPActorCritic
+
+
+class TrotDistillSetup(NamedTuple):
+    model: object
+    cost: object
+    u_ref: object          # (time,) -> (nu,) gait reference
+    obs_fn: object         # (qpos, qvel, time) -> obs (phase included)
+    net: MLPActorCritic
+    mppi_config: MPPIConfig
+    z_band: tuple          # healthy trunk-height band
+
+
+def trot_distill_setup(robot: str = "go1", engine: str = "xla"
+                       ) -> TrotDistillSetup:
+    """The configuration that produced runs/distill_<robot>/."""
+    if robot == "go1":
+        model = load_go1("flat")
+        pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                  target_height=0.265)
+        z_band = (0.12, 0.45)
+    elif robot == "opendog":
+        model = load_opendog("flat")
+        pc = costs.TrotCostParams(desired_vel_xy=(0.3, 0.0),
+                                  target_height=0.0665, thigh_amp=0.12,
+                                  knee_lift=0.25, w_height=80.0)
+        z_band = (0.035, 0.12)
+    else:
+        raise ValueError(robot)
+    home_j = np.asarray(model.key_qpos[0])[7:]
+    cost = costs.trot_cost(model, pc, home_j, legs=robot)
+    u_ref = costs.trot_gait_ref(model, pc, home_j, legs=robot)
+    period = pc.period_s
+
+    def obs_fn(qpos, qvel, t):
+        phase = 2.0 * jnp.pi * t / period
+        return jnp.concatenate([
+            qpos[2:7],
+            qpos[7:],
+            qvel[:6] * 0.25,
+            qvel[6:] * 0.1,
+            jnp.array([jnp.sin(phase), jnp.cos(phase)]),
+        ])
+
+    net = MLPActorCritic(action_dim=model.nu, hidden=(512, 256),
+                         squash_mean=False)
+    mcfg = MPPIConfig(horizon=25, num_samples=512, n_substeps=2,
+                      rollout_dt=0.01, noise_sigma=0.10, temperature=0.2,
+                      engine=engine)
+    return TrotDistillSetup(model, cost, u_ref, obs_fn, net, mcfg, z_band)
+
+
+def load_student(path: str, setup: TrotDistillSetup):
+    """Restore student params saved by scripts/distill_walk.py and return
+    ``policy(qpos, qvel, t, prev_ctrl) -> ctrl`` (the deployed action:
+    clip(net(obs ++ (prev-home)) + u_ref(t)))."""
+    from flax import serialization
+
+    m = setup.model
+    lo, hi = np.asarray(m.actuator_ctrlrange).T
+    home_ctrl = np.clip(np.asarray(m.key_ctrl[0], np.float32), lo, hi)
+    example = setup.obs_fn(jnp.asarray(m.key_qpos[0]),
+                           jnp.zeros(m.nv), jnp.float32(0.0))
+    example = jnp.concatenate([example, jnp.zeros(m.nu)])
+    template = setup.net.init(jax.random.PRNGKey(0), example[None])
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(jax.device_get(template),
+                                          f.read())
+
+    def policy(qpos, qvel, t, prev_ctrl):
+        obs = setup.obs_fn(qpos, qvel, t)
+        obs = jnp.concatenate([obs, prev_ctrl - home_ctrl])
+        mean, _, _ = setup.net.apply(params, obs[None])
+        return jnp.clip(mean[0] + setup.u_ref(t), lo, hi)
+
+    return policy

@@ -34,57 +34,21 @@ def main():
     import jax.numpy as jnp
     from flax import serialization
 
-    from opendog_tpu.assets import load_go1, load_opendog
     from opendog_tpu.physics import State, make_state
     from opendog_tpu.rl.distill import DistillConfig, make_distiller
-    from opendog_tpu.rl.networks import MLPActorCritic
-    from opendog_tpu.solvers import MPPIConfig, costs
 
-    if args.robot == "go1":
-        m = load_go1("flat")
-        params_cost = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
-                                           target_height=0.265)
-        z_band = (0.12, 0.45)
-    else:
-        # opendog settles at z=0.0665; small ctrlranges -> small amplitudes
-        m = load_opendog("flat")
-        params_cost = costs.TrotCostParams(desired_vel_xy=(0.3, 0.0),
-                                           target_height=0.0665,
-                                           thigh_amp=0.12, knee_lift=0.25,
-                                           w_height=80.0)
-        z_band = (0.035, 0.12)
+    from opendog_tpu.rl.distill_zoo import trot_distill_setup
+
+    engine = "pallas" if jax.default_backend() != "cpu" else "xla"
+    setup = trot_distill_setup(args.robot, engine=engine)
+    m, cost, u_ref, obs_fn, net = (setup.model, setup.cost, setup.u_ref,
+                                   setup.obs_fn, setup.net)
+    mcfg, z_band = setup.mppi_config, setup.z_band
     args.out = args.out or f"runs/distill_{args.robot}"
-    home_j = np.asarray(m.key_qpos[0])[7:]
-    cost = costs.trot_cost(m, params_cost, home_j, legs=args.robot)
-    u_ref = costs.trot_gait_ref(m, params_cost, home_j, legs=args.robot)
-    period = params_cost.period_s
-
-    def obs_fn(qpos, qvel, t):
-        """Translation-invariant state + explicit gait phase (the expert's
-        cost is phase-referenced via state.time, so the student must see
-        the phase; the reference's sym policy gets sin/cos phase the same
-        way, sim2real/train.py:164)."""
-        phase = 2.0 * jnp.pi * t / period
-        return jnp.concatenate([
-            qpos[2:7],                   # z + quat
-            qpos[7:],                    # joints
-            qvel[:6] * 0.25,             # base twist (scaled)
-            qvel[6:] * 0.1,              # joint vels (scaled)
-            jnp.array([jnp.sin(phase), jnp.cos(phase)]),
-        ])
-
-    net = MLPActorCritic(action_dim=m.nu, hidden=(512, 256),
-                         squash_mean=False)
     S = args.scenarios
     dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
                          rounds=args.rounds, lr=1e-3, batch_size=512,
                          epochs_per_round=8, beta_decay=0.8)
-    engine = "pallas" if jax.default_backend() != "cpu" else "xla"
-    # tighter expert posterior (more samples, less exploration noise)
-    # -> more deterministic labels for the regressor
-    mcfg = MPPIConfig(horizon=25, num_samples=512, n_substeps=2,
-                      rollout_dt=0.01, noise_sigma=0.10, temperature=0.2,
-                      engine=engine)
     init, round_fn, eval_fn, collect, train_on = make_distiller(
         m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
         plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True)

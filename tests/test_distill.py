@@ -70,3 +70,39 @@ def test_distill_eval_rollout_reports_rmse_and_trajectory():
     # student actions are clipped into ctrlrange by construction
     rng = np.asarray(m.actuator_ctrlrange)
     assert np.all(np.isfinite(np.asarray(out["final_z"])))
+
+
+def test_walking_student_artifact_drives_plant_forward():
+    """The committed go1 student (runs/distill_go1/student.msgpack, the
+    MPC-distilled walking policy) must drive the op-graph plant forward
+    upright for 100 ticks (2 s) on CPU.  CPU f32 op-graph is the accuracy
+    ground truth the fused training plant matches to ~3e-6, so this is a
+    fair cross-engine check of the artifact."""
+    import os
+
+    from opendog_tpu.physics import dynamics
+    from opendog_tpu.rl.distill_zoo import load_student, trot_distill_setup
+
+    path = "runs/distill_go1/student.msgpack"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("student artifact not present")
+    setup = trot_distill_setup("go1")
+    m = setup.model
+    policy = load_student(path, setup)
+    st = make_state(m, "home")
+    lo, hi = np.asarray(m.actuator_ctrlrange).T
+    prev = jnp.asarray(np.clip(np.asarray(m.key_ctrl[0], np.float32),
+                               lo, hi))
+    jpol = jax.jit(policy)
+    jstep = jax.jit(lambda s, c: dynamics.step(m, s, c,
+                                               n_substeps=10)[0])
+    zs = []
+    for t in range(100):
+        u = jpol(st.qpos, st.qvel, st.time, prev)
+        st = jstep(st, u)
+        prev = u
+        zs.append(float(st.qpos[2]))
+    assert np.isfinite(np.asarray(zs)).all()
+    assert min(zs) > 0.12 and max(zs) < 0.45, (min(zs), max(zs))
+    assert float(st.qpos[0]) > 0.15, float(st.qpos[0])  # ~0.3 m expected
