@@ -71,6 +71,11 @@ class QuadPilotCamera:
             if not self._streaming:
                 break
 
+    def raw_stream(self) -> Iterator[bytes]:
+        """Iterate raw JPEG bytes (no decode); stops on stop_stream()."""
+        self._streaming = True
+        yield from self._frame_generator()
+
     def stop_stream(self):
         self._streaming = False
 

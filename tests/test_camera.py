@@ -84,3 +84,26 @@ def test_sse_events_stream(camera_proc):
 
     payload = json.loads(lines[0][5:])
     assert "imu" in payload and "ads" in payload
+
+
+def test_camera_viewer_headless(cam, tmp_path):
+    """apps/camera_viewer (Code/main.py parity): background stream thread,
+    framesize dropdown handler, FPS/status tracking, frame sink."""
+    from opendog_tpu.apps.camera_viewer import FRAMESIZES, CameraViewer
+
+    got = []
+    v = CameraViewer(cam, sink=lambda jpg, i: got.append((i, len(jpg))),
+                     save_dir=str(tmp_path), save_every=2)
+    assert "VGA" in FRAMESIZES
+    assert v.change_framesize("QVGA")
+    v.start()
+    t0 = time.time()
+    while len(got) < 5 and time.time() - t0 < 10:
+        time.sleep(0.05)
+    v.stop()
+    assert len(got) >= 5
+    assert all(n > 100 for _, n in got)  # real JPEG payloads
+    assert got[0][1] and got[0][0] == 0
+    saved = list(tmp_path.glob("frame_*.jpg"))
+    assert saved  # every 2nd frame written
+    assert v.frames >= 5 and v.status in ("stopped",)
