@@ -92,16 +92,32 @@ def train(
     jchunk = jax.jit(chunk)
 
     run_dir = os.path.join(out_dir, f"{task}_{seed}")
+    adaptive = AdaptiveState()
     if resume:
-        prev = Checkpointer(os.path.join(run_dir, "ckpt")).restore(
-            template=jax.device_get(state.params))
-        if prev is not None:
-            state = state.replace(params=jax.tree.map(jnp.asarray, prev))
-            print(f"resumed params from {run_dir}/ckpt", flush=True)
+        rck = Checkpointer(os.path.join(run_dir, "ckpt"))
+        try:  # full-state checkpoint (params + optimizer + env + RNG)
+            prev = rck.restore(template=jax.device_get(state))
+            if prev is not None:
+                state = jax.tree.map(jnp.asarray, prev)
+                print(f"resumed full state from {run_dir}/ckpt", flush=True)
+        except Exception:  # older params-only checkpoint
+            prev = rck.restore(template=jax.device_get(state.params))
+            if prev is not None:
+                state = state.replace(
+                    params=jax.tree.map(jnp.asarray, prev))
+                print(f"resumed params from {run_dir}/ckpt", flush=True)
+        apath = os.path.join(run_dir, "adaptive.json")
+        if os.path.exists(apath):
+            import json
+
+            d = json.load(open(apath))
+            adaptive.lr = d["lr"]; adaptive.ent_coef = d["ent_coef"]
+            adaptive.episodes_seen = d.get("episodes_seen", 0)
+            print(f"resumed adaptive hypers lr={adaptive.lr:.2e}",
+                  flush=True)
     writer = MetricsWriter(run_dir)
     ck = Checkpointer(os.path.join(run_dir, "ckpt"))
     ck_best = Checkpointer(os.path.join(run_dir, "best"), max_to_keep=1)
-    adaptive = AdaptiveState()
     use_adaptive = spec["loss"] == "plain"
     jeval = jax.jit(make_eval(env, net, eval_steps))
     eval_key = jax.random.PRNGKey(seed + 1000)
@@ -150,7 +166,15 @@ def train(
                                os.path.join(run_dir, f"eval_{i + 1}.gif"),
                                fps=12)
         if (i + 1) % save_interval == 0:
-            ck.save(i + 1, jax.device_get(state.params))
+            # FULL-state checkpoint (params + optimizer + env states +
+            # RNG): a fresh process resumes the run exactly — the thing
+            # the reference's weights-only saves cannot (SURVEY §5)
+            ck.save(i + 1, jax.device_get(state))
+            import json
+
+            with open(os.path.join(run_dir, "adaptive.json"), "w") as f:
+                json.dump(dict(lr=adaptive.lr, ent_coef=adaptive.ent_coef,
+                               episodes_seen=adaptive.episodes_seen), f)
             if task == "sym":
                 def policy(obs, _s=state):
                     mean, _, _ = net.apply(_s.params, obs[None])
@@ -159,7 +183,7 @@ def train(
                     policy, env,
                     os.path.join(run_dir, f"walk_rl_sym_ep{i + 1}.json"),
                 )
-    ck.save(total_chunks, jax.device_get(state.params), force=True)
+    ck.save(total_chunks, jax.device_get(state), force=True)
     writer.close()
     ck.close()
     ck_best.close()
