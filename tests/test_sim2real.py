@@ -78,3 +78,57 @@ def test_gait_to_sim_ctrl_clamps():
     ctrl = gait_json.gait_to_sim_ctrl(m, [0.1] * 3, t)
     cr = np.asarray(m.actuator_ctrlrange)
     assert np.all(ctrl >= cr[:, 0] - 1e-6) and np.all(ctrl <= cr[:, 1] + 1e-6)
+
+
+def test_actuator_perturbation_table_invariants():
+    """Port of the reference's pre-training self-test
+    (run_actuator_perturbation_test, sim2real/train.py:439-496), made
+    automatic: the symmetric expansion must mirror FR-thigh deltas onto
+    BL, FL onto BR, and knee-pair deltas must be antisymmetric and
+    phase-gated."""
+    from opendog_tpu.assets import load_opendog
+    from opendog_tpu.envs import SymWalkEnv
+    from opendog_tpu.sim2real.perturbation import (
+        actuator_perturbation_table,
+    )
+
+    env = SymWalkEnv(load_opendog("flat"))
+    rows = actuator_perturbation_table(env, delta_deg=15.0)
+    assert len(rows) == 4 * 2 * 2 * 8
+
+    def delta(rows, actuator):
+        m = [r for r in rows if r["actuator"] == actuator]
+        assert len(m) == 1
+        return m[0]["applied_sim_delta_rad"]
+
+    # FR-thigh channel, +15 deg, phase 0: FR and BL thighs move together,
+    # FL/BR untouched, all knees untouched
+    sel = [r for r in rows if r["channel"] == "FR_tigh_delta"
+           and r["sign"] == 1 and r["phase"] == 0]
+    d_fr = delta(sel, "FR_tigh_actuator")
+    d_bl = delta(sel, "BL_tigh_actuator")
+    assert abs(d_fr - d_bl) < 1e-6 and abs(d_fr) > 0.1
+    assert abs(delta(sel, "FL_tigh_actuator")) < 1e-6
+    for knee in ("FR_knee_actuator", "FL_knee_actuator",
+                 "BL_knee_actuator", "BR_knee_actuator"):
+        assert abs(delta(sel, knee)) < 1e-6
+
+    # Knee pair 1, phase 0: FR knee and BL knee antisymmetric; in phase 1
+    # the same channel is inert (train.py:243-259)
+    sel0 = [r for r in rows if r["channel"] == "Knee_P1(FR/BL)_sw_delta"
+            and r["sign"] == 1 and r["phase"] == 0]
+    d_frk = delta(sel0, "FR_knee_actuator")
+    d_blk = delta(sel0, "BL_knee_actuator")
+    # antisymmetric up to ctrlrange clipping (the knee range is only
+    # 0.6 rad wide, so one side may saturate — the reference clamps the
+    # same way, train.py:265-269)
+    assert d_frk > 0.1 and d_blk < -0.1
+    assert abs(d_frk + d_blk) < 0.06
+    sel1 = [r for r in rows if r["channel"] == "Knee_P1(FR/BL)_sw_delta"
+            and r["sign"] == 1 and r["phase"] == 1]
+    assert abs(delta(sel1, "FR_knee_actuator")) < 1e-6
+    assert abs(delta(sel1, "BL_knee_actuator")) < 1e-6
+
+    # real-degree deltas are finite and bounded by calibration scaling
+    assert all(np.isfinite(r["real_delta_deg"]) for r in rows)
+    assert all(abs(r["real_delta_deg"]) < 90 for r in rows)
