@@ -73,6 +73,7 @@ def make_solver(
     terrain: Optional[Terrain] = None,
     mesh: Optional[Mesh] = None,
     sample_axis: str = "mp",
+    with_payload: bool = False,
 ):
     """Build ``solve(physics_state, mppi_state, key) -> (ctrl, mppi_state',
     stats)``.  Jit (or vmap for batched scenarios) the returned function.
@@ -82,6 +83,12 @@ def make_solver(
     K/n_devices candidates and the softmax-weighted update is reduced with
     ``pmin``/``psum`` collectives, bit-comparable (up to reduction order) to
     the single-device solve (tests/test_sharded_solvers.py).
+
+    With ``with_payload=True`` (engine="pallas" only) the returned solve
+    takes a trailing scalar ``payload`` argument — a point mass [kg]
+    rigidly attached at the trunk origin, carried on the kernel's payload
+    lanes — so the controller PLANS with the load it knows it carries
+    (and domain-randomized training can vary it per scenario).
 
     PERF: keep the receding-horizon loop ON-DEVICE (``lax.scan`` over
     ticks, as ``make_mpc(...).run`` does).  Feeding the returned
@@ -118,6 +125,9 @@ def make_solver(
             total = total + terminal_cost(final)
         return total
 
+    if with_payload:
+        assert config.engine == "pallas", \
+            "payload-aware solves ride the fused kernel's payload lanes"
     if config.engine == "pallas":
         from ..ops.pallas_step import build_pallas_substep
 
@@ -126,6 +136,7 @@ def make_solver(
             rollout_model, float(rollout_model.timestep),
             k_tile=k_tile, n_substeps=config.n_substeps,
             with_plane=terrain is not None,
+            with_payload=with_payload,
         )
 
     def _local_plane(state: State, k: int) -> jax.Array:
@@ -142,7 +153,8 @@ def make_solver(
         row = jnp.concatenate([n, d[None]])  # (4,)
         return jnp.tile(row[:, None], (1, k))
 
-    def rollout_costs_pallas(state: State, candidates: jax.Array):
+    def rollout_costs_pallas(state: State, candidates: jax.Array,
+                             payload=None):
         """Rollout of all candidates via the fused kernel: carry is the
         (rows, k) lane layout, one pallas_call per control step."""
         k = candidates.shape[0]
@@ -150,10 +162,14 @@ def make_solver(
         qv0 = jnp.tile(state.qvel[:, None], (1, k))
         dt_tick = float(rollout_model.timestep) * config.n_substeps
         plane = _local_plane(state, k) if terrain is not None else None
+        pl = (jnp.full((1, k), payload, jnp.float32)
+              if with_payload else None)
 
         def tick(carry, ctrl):  # ctrl (k, nu)
             qp, qv, prev_ctrl, t, disc = carry
-            if terrain is not None:
+            if with_payload:
+                qp2, qv2 = psub(qp, qv, ctrl.T, plane, pl)
+            elif terrain is not None:
                 qp2, qv2 = psub(qp, qv, ctrl.T, plane)
             else:
                 qp2, qv2 = psub(qp, qv, ctrl.T)
@@ -193,9 +209,10 @@ def make_solver(
         eps = jax.vmap(one)(keys)
         return jnp.clip(nominal[None] + eps, lo, hi)
 
-    def _rollout_costs(state: State, candidates: jax.Array) -> jax.Array:
+    def _rollout_costs(state: State, candidates: jax.Array,
+                       payload=None) -> jax.Array:
         if config.engine == "pallas":
-            costs = rollout_costs_pallas(state, candidates)
+            costs = rollout_costs_pallas(state, candidates, payload)
         else:
             costs = jax.vmap(rollout_cost, in_axes=(None, 0))(
                 state, candidates)
@@ -231,25 +248,30 @@ def make_solver(
         )
         return new_nominal, stats
 
-    def solve(state: State, mppi: MPPIState, key: jax.Array):
+    def solve(state: State, mppi: MPPIState, key: jax.Array,
+              payload=None):
+        if with_payload:
+            assert payload is not None, "solver built with_payload=True"
         keys = jax.random.split(key, K)
 
         if mesh is None:
             candidates = _sample_candidates(mppi.nominal, keys)
-            costs = _rollout_costs(state, candidates)
+            costs = _rollout_costs(state, candidates, payload)
             new_nominal, stats = _weighted_update(candidates, costs)
         else:
-            def shard_fn(st, nominal, keys_local):
+            def shard_fn(st, nominal, keys_local, pl):
                 cand = _sample_candidates(nominal, keys_local)
-                costs = _rollout_costs(st, cand)
+                costs = _rollout_costs(st, cand, pl)
                 return _weighted_update(cand, costs, axis_name=sample_axis)
 
+            pl_in = (jnp.float32(payload) if with_payload
+                     else jnp.float32(0.0))
             new_nominal, stats = shard_map(
                 shard_fn, mesh=mesh,
-                in_specs=(P(), P(), P(sample_axis)),
+                in_specs=(P(), P(), P(sample_axis), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(state, mppi.nominal, keys)
+            )(state, mppi.nominal, keys, pl_in)
 
         ctrl = new_nominal[0]
         # receding horizon: shift, repeat last

@@ -283,3 +283,37 @@ def test_payload_kernel_physics():
     dv_l = np.abs(np.asarray(qv_l)[:6] - np.asarray(qv)[:6]).mean()
     dv_h = np.abs(np.asarray(qv_h)[:6] - np.asarray(qv)[:6]).mean()
     assert dv_h < dv_l
+
+
+def test_mini_payload_aware_mppi_solve():
+    """make_solver(with_payload=True): payload=0 must reproduce the
+    payload-less solver bit-for-bit (same keys); a heavy payload must
+    change the plan — the controller plans WITH the load it carries."""
+    import opendog_tpu.ops.pallas_step as ps
+    from opendog_tpu.solvers import MPPIConfig, costs, mppi
+
+    m = load_mini()
+    home_j = np.asarray(m.key_qpos[0])[7:]
+    cost = costs.standing_cost(m, 0.115, home_j)
+    cfg = MPPIConfig(engine="pallas", horizon=4, num_samples=8,
+                     n_substeps=1, rollout_dt=0.004)
+    s0 = make_state(m, "home")
+    key = jax.random.PRNGKey(2)
+    orig = ps.build_pallas_substep
+    try:
+        ps.build_pallas_substep = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        base = mppi.make_solver(m, cost, cfg)
+        pay = mppi.make_solver(m, cost, cfg, with_payload=True)
+        ms = mppi.init_state(m, cfg)
+        c0, _, s_base = jax.jit(base)(s0, ms, key)
+        cz, _, s_zero = jax.jit(pay)(s0, ms, key, jnp.float32(0.0))
+        ch, _, s_heavy = jax.jit(pay)(s0, ms, key, jnp.float32(2.0))
+    finally:
+        ps.build_pallas_substep = orig
+    np.testing.assert_allclose(np.asarray(cz), np.asarray(c0),
+                               rtol=1e-6, atol=1e-6)
+    assert np.isfinite(np.asarray(ch)).all()
+    # a 2 kg load on a 1.24 kg robot must change the chosen plan costs
+    assert abs(float(s_heavy["best_cost"]) - float(s_zero["best_cost"])) \
+        > 1e-3
