@@ -144,6 +144,42 @@ def main():
                trunk_z=round(float(q[2]), 3),
                all_finite=bool(np.isfinite(q).all()))
 
+    # ---- config 2d: payload-aware trot MPPI (plans WITH a 1.5 kg
+    # carried load on the kernel's payload lanes) ----
+    if "2d" not in args.skip and jax.default_backend() != "cpu":
+        from opendog_tpu.solvers import mppi as mppi_mod
+
+        m = load_go1("flat")
+        p = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                 target_height=0.265)
+        cost = costs.trot_cost(m, p, np.asarray(m.key_qpos[0])[7:])
+        cfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.12,
+                         temperature=0.3, engine="pallas")
+        solve = mppi_mod.make_solver(m, cost, cfg, with_payload=True)
+
+        def run_n(st, ms, key, n):
+            def tick(carry, _):
+                ms, key = carry
+                key, k = jax.random.split(key)
+                ctrl, ms, stats = solve(st, ms, k, jnp.float32(1.5))
+                return (ms, key), ctrl[0]
+            (ms, _), c0 = jax.lax.scan(tick, (ms, key), None, length=n)
+            return c0
+
+        jrun = jax.jit(run_n, static_argnums=3)
+        s0 = make_state(m, "home")
+        ms = mppi_mod.init_state(m, cfg)
+        c0 = jrun(s0, ms, jax.random.PRNGKey(0), 100); fetch(c0)
+        t0 = time.time()
+        c0 = jrun(s0, ms, jax.random.PRNGKey(1), 100)
+        fetch(c0)
+        dt = time.time() - t0
+        record("2d_payload_trot_mppi_256",
+               solves_per_sec=round(100 / dt, 1),
+               payload_kg=1.5,
+               all_finite=bool(np.isfinite(np.asarray(c0)).all()))
+
     # ---- config 6: SAMPLE-SHARDED MPPI over the device mesh (the TP-
     # analog axis; psum/pmin reductions over ICI).  On a 1-chip host the
     # mesh is size 1 — the code path is identical, and N-device ==
