@@ -65,6 +65,7 @@ def make_distiller(
     plant_substeps: int = 10,
     action_ref_fn: Callable = None,  # (time,) -> (nu,) feed-forward ref
     with_prev_ctrl: bool = False,
+    payload_range: tuple = None,  # (lo, hi) kg -> payload-randomized DAgger
 ):
     """Returns (init, round_fn, eval_fn).
 
@@ -87,6 +88,16 @@ def make_distiller(
     sim2real/train.py:235-285), and a far easier regression target than
     the full expert action.
 
+    ``payload_range=(lo, hi)`` (engine="pallas" only) runs
+    payload-randomized DAgger: each scenario carries a trunk payload
+    sampled uniformly from the range, the EXPERT plans with its
+    scenario's payload (``make_solver(with_payload=True)``), the plant
+    integrates it on the kernel's payload lanes — and the STUDENT does
+    NOT observe it, so it must learn a load-robust gait (the
+    domain-randomization option of BASELINE config 5).  ``round_fn`` /
+    ``collect`` / ``eval_fn`` then take a trailing ``payloads (S,)``
+    argument.
+
     ``with_prev_ctrl`` appends the previously APPLIED ctrl to the
     observation (the reference envs' last-action term,
     WalkEnvironment.py:115-136).  This matters for imitating a
@@ -94,7 +105,12 @@ def make_distiller(
     -started plan), and the previous action is the best cheap observable
     proxy for the hidden plan state — without it the conditional label
     distribution is wide and the regressed mean washes the gait out."""
-    solve = mppi.make_solver(model, step_cost, mppi_config)
+    use_payload = payload_range is not None
+    if use_payload:
+        assert mppi_config.engine == "pallas", \
+            "payload randomization rides the fused kernel's payload lanes"
+    solve = mppi.make_solver(model, step_cost, mppi_config,
+                             with_payload=use_payload)
     tx = optax.adam(config.lr)
     S = config.num_scenarios
     lo, hi = jnp.asarray(model.actuator_ctrlrange).T
@@ -108,16 +124,20 @@ def make_distiller(
 
         _plant_sub = build_pallas_substep(
             model, float(model.timestep), k_tile=S,
-            n_substeps=plant_substeps)
+            n_substeps=plant_substeps, with_payload=use_payload)
 
-        def plant_step(plants: State, ctrl):
-            qp, qv = _plant_sub(plants.qpos.T, plants.qvel.T, ctrl.T)
+        def plant_step(plants: State, ctrl, payloads=None):
+            if use_payload:
+                qp, qv = _plant_sub(plants.qpos.T, plants.qvel.T, ctrl.T,
+                                    None, payloads[None, :])
+            else:
+                qp, qv = _plant_sub(plants.qpos.T, plants.qvel.T, ctrl.T)
             return State(qpos=qp.T, qvel=qv.T,
                          time=plants.time
                          + plant_substeps * float(model.timestep))
     else:
 
-        def plant_step(plants: State, ctrl):
+        def plant_step(plants: State, ctrl, payloads=None):
             plants2, _ = jax.vmap(
                 lambda s, c: dynamics.step(model, s, c, None,
                                            n_substeps=plant_substeps)
@@ -152,14 +172,20 @@ def make_distiller(
         params = network.init(k1, obs[None])
         return DistillState(params=params, opt_state=tx.init(params), key=k2)
 
-    def collect(dstate: DistillState, plants: State, mppi_states, beta):
+    def _expert(plants, mstates, keys, payloads):
+        if use_payload:
+            return jax.vmap(solve)(plants, mstates, keys, payloads)
+        return jax.vmap(solve)(plants, mstates, keys)
+
+    def collect(dstate: DistillState, plants: State, mppi_states, beta,
+                payloads=None):
         """Scan expert-labeled rollouts across all scenarios."""
 
         def tick(carry, _):
             plants, mstates, key, prev = carry
             key, k1, k2 = jax.random.split(key, 3)
-            expert_ctrl, mstates, _ = jax.vmap(solve)(
-                plants, mstates, jax.random.split(k1, S)
+            expert_ctrl, mstates, _ = _expert(
+                plants, mstates, jax.random.split(k1, S), payloads
             )
             obs = jax.vmap(full_obs)(plants.qpos, plants.qvel,
                                      plants.time, prev)
@@ -167,7 +193,7 @@ def make_distiller(
             drive_expert = jax.random.bernoulli(k2, beta, (S, 1))
             ctrl = jnp.where(drive_expert, expert_ctrl, student_ctrl)
             label = expert_ctrl - jax.vmap(_ref)(plants.time)
-            plants = plant_step(plants, ctrl)
+            plants = plant_step(plants, ctrl, payloads)
             return (plants, mstates, key, ctrl), \
                 (obs, label, student_ctrl, plants.qpos)
 
@@ -180,20 +206,21 @@ def make_distiller(
         return plants, mppi_states, key, obs.reshape(-1, obs.shape[-1]), \
             labels.reshape(-1, labels.shape[-1])
 
-    def eval_fn(dstate: DistillState, plants: State, ticks: int):
+    def eval_fn(dstate: DistillState, plants: State, ticks: int,
+                payloads=None):
         mppi_states = jax.vmap(
             lambda _: mppi.init_state(model, mppi_config))(jnp.arange(S))
 
         def tick(carry, _):
             plants, mstates, key, prev = carry
             key, k1 = jax.random.split(key)
-            expert_ctrl, mstates, _ = jax.vmap(solve)(
-                plants, mstates, jax.random.split(k1, S)
+            expert_ctrl, mstates, _ = _expert(
+                plants, mstates, jax.random.split(k1, S), payloads
             )
             obs = jax.vmap(full_obs)(plants.qpos, plants.qvel,
                                      plants.time, prev)
             ctrl = student_act(dstate.params, obs, plants.time)  # STUDENT
-            plants = plant_step(plants, ctrl)
+            plants = plant_step(plants, ctrl, payloads)
             err2 = jnp.mean(jnp.square(ctrl - expert_ctrl))
             return (plants, mstates, key, ctrl), (plants.qpos, ctrl, err2)
 
@@ -241,13 +268,14 @@ def make_distiller(
         )
         return dstate.replace(params=params, opt_state=opt_state), losses[-1]
 
-    def round_fn(dstate: DistillState, plants: State, round_idx: int):
+    def round_fn(dstate: DistillState, plants: State, round_idx: int,
+                 payloads=None):
         beta = config.beta_decay ** round_idx
         mppi_states = jax.vmap(lambda _: mppi.init_state(model, mppi_config))(
             jnp.arange(S)
         )
         plants, _, key, obs, labels = collect(
-            dstate, plants, mppi_states, beta
+            dstate, plants, mppi_states, beta, payloads
         )
         key, sub = jax.random.split(key)
         dstate, loss = train_on(dstate.replace(key=key), obs, labels, sub)

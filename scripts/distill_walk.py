@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--eval_ticks", type=int, default=500)
     ap.add_argument("--out", default=None)
     ap.add_argument("--gif", action="store_true")
+    ap.add_argument("--payload_max", type=float, default=0.0,
+                    help="randomize carried trunk payload in [0, max] kg")
     args = ap.parse_args()
 
     import jax
@@ -49,9 +51,12 @@ def main():
     dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
                          rounds=args.rounds, lr=1e-3, batch_size=512,
                          epochs_per_round=8, beta_decay=0.8)
+    payload_range = ((0.0, args.payload_max) if args.payload_max > 0
+                     else None)
     init, round_fn, eval_fn, collect, train_on = make_distiller(
         m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
-        plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True)
+        plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True,
+        payload_range=payload_range)
 
     s0 = make_state(m, "home")
     # settle onto the ground first (the opendog keyframe starts 13 cm in
@@ -83,7 +88,7 @@ def main():
     # keep the jitted train step to one compile.
     from opendog_tpu.solvers import mppi as mppi_mod
 
-    jcollect = jax.jit(collect)
+    jcollect = jax.jit(collect)  # (dstate, plants, mstates, beta[, payloads])
     jtrain = jax.jit(train_on)
     TRAIN_N = 8192
     rng = np.random.default_rng(0)
@@ -94,8 +99,11 @@ def main():
         beta = dcfg.beta_decay ** r
         mstates = jax.vmap(lambda _: mppi_mod.init_state(m, mcfg))(
             jnp.arange(S))
+        payloads = (jnp.asarray(rng.uniform(0.0, args.payload_max, S),
+                                jnp.float32)
+                    if payload_range else None)
         plants, _, key, obs, labels = jcollect(dstate, plants, mstates,
-                                               jnp.float32(beta))
+                                               jnp.float32(beta), payloads)
         dstate = dstate.replace(key=key)
         buf_obs.append(np.asarray(obs)); buf_lab.append(np.asarray(labels))
         all_obs = np.concatenate(buf_obs); all_lab = np.concatenate(buf_lab)
@@ -120,8 +128,11 @@ def main():
     print(f"final fit loss {loss:.4f}", flush=True)
 
     print("student-only eval rollout...", flush=True)
+    eval_payloads = (jnp.linspace(0.0, args.payload_max, S)
+                     if payload_range else None)
     out = jax.jit(eval_fn, static_argnums=2)(dstate, plants0,
-                                             args.eval_ticks)
+                                             args.eval_ticks,
+                                             eval_payloads)
     qpos_traj = np.asarray(out["qpos_traj"])        # (T, S, nq)
     z = qpos_traj[:, :, 2]
     upright = (z > z_band[0]) & (z < z_band[1])
@@ -132,6 +143,7 @@ def main():
           "upright:", per_up, flush=True)
     res = dict(
         rounds=args.rounds,
+        payload_max_kg=args.payload_max,
         final_loss=loss,
         action_rmse=float(out["action_rmse"]),
         eval_ticks=args.eval_ticks,

@@ -106,3 +106,46 @@ def test_walking_student_artifact_drives_plant_forward():
     assert np.isfinite(np.asarray(zs)).all()
     assert min(zs) > 0.12 and max(zs) < 0.45, (min(zs), max(zs))
     assert float(st.qpos[0]) > 0.15, float(st.qpos[0])  # ~0.3 m expected
+
+
+def test_payload_randomized_dagger_round():
+    """payload_range DAgger: expert plans and plant integrates each
+    scenario's carried load on the kernel's payload lanes; the student
+    does not observe it (mini model, interpret kernels)."""
+    import opendog_tpu.ops.pallas_step as ps
+    from opendog_tpu.assets import load_mini
+
+    m = load_mini()
+    home_joints = np.asarray(m.key_qpos[0])[7:]
+    cost = costs.standing_cost(m, 0.115, home_joints)
+    obs_fn = lambda qp, qv, t: jnp.concatenate([qp[2:], qv])
+    net = MLPActorCritic(action_dim=m.nu, hidden=(16, 16),
+                         squash_mean=False)
+    dcfg = DistillConfig(num_scenarios=2, rollout_ticks=2, batch_size=4,
+                         epochs_per_round=1)
+    mcfg = MPPIConfig(horizon=3, num_samples=8, n_substeps=1,
+                      rollout_dt=0.004, engine="pallas")
+    orig = ps.build_pallas_substep
+    try:
+        ps.build_pallas_substep = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        init, round_fn, eval_fn, _, _ = make_distiller(
+            m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
+            plant_substeps=2, payload_range=(0.0, 1.0))
+        s0 = make_state(m, "home")
+        plants = State(qpos=jnp.tile(s0.qpos[None], (2, 1)),
+                       qvel=jnp.zeros((2, m.nv)), time=jnp.zeros(2))
+        payloads = jnp.array([0.0, 1.0])
+        dstate = init(jax.random.PRNGKey(0), s0)
+        dstate, plants2, metrics = jax.jit(round_fn, static_argnums=2)(
+            dstate, plants, 0, payloads)
+        assert np.isfinite(float(metrics["distill_loss"]))
+        out = jax.jit(eval_fn, static_argnums=2)(dstate, plants, 3,
+                                                 payloads)
+        assert np.isfinite(np.asarray(out["qpos_traj"])).all()
+        # the loaded scenario must settle differently from the unloaded
+        dq = np.abs(np.asarray(plants2.qpos[0]) -
+                    np.asarray(plants2.qpos[1]))
+        assert dq.max() > 1e-5
+    finally:
+        ps.build_pallas_substep = orig
