@@ -86,6 +86,8 @@ class TrotCostParams(NamedTuple):
     w_yaw_rate: float = 2.0
     w_heading: float = 6.0     # hold world heading (prevents the
                                # turned-around backward-trot attractor)
+    desired_yaw: float = 0.0   # heading target [rad] — nonzero turns
+                               # while trotting (the TurnEnvironment task)
     w_ctrl_rate: float = 0.3
     thigh_phase: float = 1.0   # +1: swing-leg thigh rotates forward with s
 
@@ -137,7 +139,9 @@ def trot_cost(model, params: TrotCostParams, home_joint_qpos,
         c_up = params.w_upright * (jnp.square(roll) + jnp.square(pitch))
         c_lat = params.w_lateral * jnp.square(qvel[1])
         c_yawr = params.w_yaw_rate * jnp.square(qvel[5])
-        c_head = params.w_heading * jnp.square(yaw)
+        dyaw = jnp.arctan2(jnp.sin(yaw - params.desired_yaw),
+                           jnp.cos(yaw - params.desired_yaw))
+        c_head = params.w_heading * jnp.square(dyaw)
         c_rate = params.w_ctrl_rate * jnp.sum(jnp.square(ctrl - prev_ctrl))
         return (c_gait + c_vel + c_h + c_up + c_lat + c_yawr + c_head
                 + c_rate)

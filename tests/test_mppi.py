@@ -80,3 +80,31 @@ def test_realtime_controller_pipelined_ticks():
         c = rtc2.bridge_tick(qpos, qvel, t * 0.02)
         assert c.shape == (m.nu,)
         assert np.all(np.isfinite(c))
+
+
+def test_trot_cost_desired_yaw_turns_preference():
+    """TrotCostParams.desired_yaw (the TurnEnvironment analog): a state
+    already rotated to the target yaw must cost less than heading zero,
+    and the wrap-around difference is used (no 2*pi cliff)."""
+    import jax.numpy as jnp
+
+    from opendog_tpu.physics import State, spatial
+
+    m = load_go1("flat")
+    hj = np.asarray(m.key_qpos[0])[7:]
+    p = costs.TrotCostParams(desired_yaw=np.pi / 2, w_heading=10.0)
+    cost = costs.trot_cost(m, p, hj, legs="go1")
+    qpos0 = jnp.asarray(m.key_qpos[0])
+
+    def with_yaw(yaw):
+        quat = jnp.array([jnp.cos(yaw / 2), 0.0, 0.0, jnp.sin(yaw / 2)])
+        return State(qpos=qpos0.at[3:7].set(quat),
+                     qvel=jnp.zeros(m.nv), time=jnp.zeros(()))
+
+    u = jnp.asarray(m.key_ctrl[0])
+    c_target = float(cost(with_yaw(jnp.pi / 2), u, u))
+    c_zero = float(cost(with_yaw(0.0), u, u))
+    assert c_target < c_zero
+    # wrap-around: yaw = target + 2*pi costs the same as the target
+    c_wrap = float(cost(with_yaw(jnp.pi / 2 + 2 * jnp.pi), u, u))
+    np.testing.assert_allclose(c_wrap, c_target, rtol=1e-4, atol=1e-4)
