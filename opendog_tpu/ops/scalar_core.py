@@ -26,7 +26,7 @@ from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
-from ..physics.model import JNT_FREE, JNT_HINGE, Model
+from ..physics.model import JNT_HINGE, Model
 from ..physics import dynamics as dyn
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,6 @@ from flax import struct
 
 from ..physics import State, dynamics
 from ..solvers import mppi
-from . import networks
 
 
 class Distiller(NamedTuple):

@@ -21,7 +21,6 @@ north_star).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import numpy as np

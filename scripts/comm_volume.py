@@ -18,7 +18,6 @@ Writes SCALING.json at the repo root.
 """
 import json
 import re
-import sys
 
 import numpy as np
 

@@ -8,7 +8,7 @@ yaw error avoids the 2*pi cliff.  Measured: yaw reaches the target within
 (runs/turn_mpc/metrics.json; runs on TPU with the fused kernel, or CPU
 with engine='xla').
 """
-import json, time
+import json
 import numpy as np
 import jax, jax.numpy as jnp
 from opendog_tpu.assets import load_go1
