@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--ticks", type=int, default=90)
     ap.add_argument("--out", default="runs/jump_mpc")
     ap.add_argument("--gif", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny config for CPU CI: exercises the full "
+                         "pipeline, proves nothing about performance")
     # phase schedule [s] and launch velocity target
     ap.add_argument("--t_crouch", type=float, default=0.35)
     ap.add_argument("--t_launch", type=float, default=0.75)
@@ -79,9 +82,14 @@ def main():
             jnp.where(t < args.t_launch, c_launch, c_land))
         return phase_cost + 20.0 * up + 0.2 * rate
 
-    cfg = MPPIConfig(horizon=50, num_samples=512, n_substeps=2,
-                     rollout_dt=0.01, noise_sigma=0.28, temperature=0.25,
-                     smooth_alpha=0.5, engine="xla")
+    if args.smoke:
+        args.ticks = 3
+        cfg = MPPIConfig(horizon=5, num_samples=8, n_substeps=1,
+                         rollout_dt=0.01, engine="xla")
+    else:
+        cfg = MPPIConfig(horizon=50, num_samples=512, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.28,
+                         temperature=0.25, smooth_alpha=0.5, engine="xla")
     solve = mppi.make_solver(m, step_cost, cfg)
 
     def run(st, ms, key, n):

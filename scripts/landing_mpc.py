@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--ticks", type=int, default=75)  # 1.5 s
     ap.add_argument("--out", default="runs/landing_mpc")
     ap.add_argument("--gif", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny config for CPU CI: exercises the full "
+                         "pipeline, proves nothing about performance")
     args = ap.parse_args()
 
     import jax
@@ -49,9 +52,14 @@ def main():
             + 0.3 * jnp.sum(jnp.square(ctrl - prev_ctrl))
         )
 
-    cfg = MPPIConfig(horizon=30, num_samples=256, n_substeps=2,
-                     rollout_dt=0.01, noise_sigma=0.08, temperature=0.2,
-                     engine="xla")
+    if args.smoke:
+        args.ticks = 3
+        cfg = MPPIConfig(horizon=5, num_samples=8, n_substeps=1,
+                         rollout_dt=0.01, engine="xla")
+    else:
+        cfg = MPPIConfig(horizon=30, num_samples=256, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.08,
+                         temperature=0.2, engine="xla")
     solve = mppi.make_solver(m, step_cost, cfg)
 
     def run(st, ms, key, n):
@@ -86,7 +94,7 @@ def main():
     ms = mppi.init_state(m, cfg, key_name="descent")
     t0 = time.time()
     stf, qps, tw, fmax = jrun(s0, ms, jax.random.PRNGKey(0), args.ticks)
-    stf, (qps2, tw2) = jhold(stf, 50)
+    stf, (qps2, tw2) = jhold(stf, 3 if args.smoke else 50)
     qps = np.concatenate([np.asarray(qps), np.asarray(qps2)])
     tw = np.concatenate([np.asarray(tw), np.asarray(tw2)])
     fmax = np.asarray(fmax)

@@ -1,0 +1,33 @@
+"""Smoke the MPC demo scripts (jump / landing / turn cost) end-to-end at
+tiny scale on CPU — guards the committed artifact pipelines against rot.
+Real configs and results: runs/{jump,landing,turn}_mpc/metrics.json."""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+           PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
+
+
+def _run(script, out_dir, extra=()):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script),
+         "--smoke", "--out", str(out_dir), *extra],
+        env=ENV, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        return json.load(f)
+
+
+def test_jump_mpc_smoke(tmp_path):
+    res = _run("jump_mpc.py", tmp_path)
+    assert res["all_finite"]
+    assert res["ticks"] == 3
+
+
+def test_landing_mpc_smoke(tmp_path):
+    res = _run("landing_mpc.py", tmp_path)
+    assert res["all_finite"]
+    assert res["min_trunk_z"] > 0.0
