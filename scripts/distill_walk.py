@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--gif", action="store_true")
     ap.add_argument("--payload_max", type=float, default=0.0,
                     help="randomize carried trunk payload in [0, max] kg")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU config: pipeline exercise only")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +45,13 @@ def main():
 
     engine = "pallas" if jax.default_backend() != "cpu" else "xla"
     setup = trot_distill_setup(args.robot, engine=engine)
+    if args.smoke:
+        from opendog_tpu.solvers import MPPIConfig
+
+        args.rounds, args.ticks, args.scenarios, args.eval_ticks = 1, 2, 2, 3
+        setup = setup._replace(mppi_config=MPPIConfig(
+            horizon=3, num_samples=8, n_substeps=1, rollout_dt=0.01,
+            engine=engine))
     m, cost, u_ref, obs_fn, net = (setup.model, setup.cost, setup.u_ref,
                                    setup.obs_fn, setup.net)
     mcfg, z_band = setup.mppi_config, setup.z_band

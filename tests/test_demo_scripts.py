@@ -31,3 +31,9 @@ def test_landing_mpc_smoke(tmp_path):
     res = _run("landing_mpc.py", tmp_path)
     assert res["all_finite"]
     assert res["min_trunk_z"] > 0.0
+
+
+def test_distill_walk_smoke(tmp_path):
+    res = _run("distill_walk.py", tmp_path, extra=("--robot", "go1"))
+    assert res["eval_ticks"] == 3
+    assert res["rounds"] == 1
