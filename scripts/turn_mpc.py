@@ -44,3 +44,10 @@ print(json.dumps(res), flush=True)
 import os
 os.makedirs("runs/turn_mpc", exist_ok=True)
 json.dump(res, open("runs/turn_mpc/metrics.json", "w"), indent=2)
+from opendog_tpu.physics import State
+from opendog_tpu.utils.render import record_rollout
+states = State(qpos=jnp.asarray(q[::4]),
+               qvel=jnp.zeros((q[::4].shape[0], m.nv)),
+               time=jnp.zeros(q[::4].shape[0]))
+record_rollout(m, states, "runs/turn_mpc/turn.gif", fps=12, plane="xz")
+print("wrote turn.gif", flush=True)
