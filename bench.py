@@ -16,6 +16,8 @@ end-to-end control rate on hardware is 12.5 Hz, sim2real/run_robot.py:37).
 Extra fields carry p99 latency and rollout throughput for the record.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -158,9 +160,87 @@ def main():
         "plant_healthy": healthy,
         "final_x": round(float(qpos[0]), 3),
         "device": str(jax.devices()[0]),
+        "live": True,
     }
     print(json.dumps(result))
 
 
+def supervise():
+    """Run the benchmark in fresh subprocesses with bounded retries.
+
+    Round-2 lesson (VERDICT.md item 1): the axon TPU tunnel can report
+    ``RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE`` at the
+    first device touch, and JAX caches a failed backend init for the process
+    lifetime — so each attempt must be a FRESH process.  The supervisor never
+    imports jax itself (only one process may hold the tunnel, CLAUDE.md).
+
+    Degradation ladder:
+      1. attempt N times with linear backoff; first attempt whose last stdout
+         line parses as the result JSON wins (printed verbatim, rc 0);
+      2. all attempts failed -> if a committed validated record exists
+         (BENCH_VALIDATED.json, produced by this same script on real TPU),
+         emit it with explicit ``live: false`` + ``degraded`` fields so the
+         record is honest about its provenance, rc 0;
+      3. no validated record -> rc 1 with the last attempt's tail on stderr.
+    """
+    attempts = int(os.environ.get("OPENDOG_BENCH_ATTEMPTS", "5"))
+    backoff_s = float(os.environ.get("OPENDOG_BENCH_BACKOFF_S", "60"))
+    timeout_s = float(os.environ.get("OPENDOG_BENCH_TIMEOUT_S", "2400"))
+
+    def log(msg):
+        print(f"[bench-supervisor] {msg}", file=sys.stderr, flush=True)
+
+    last_tail = ""
+    for i in range(attempts):
+        if i:
+            sleep_s = backoff_s * i
+            log(f"attempt {i} failed; backing off {sleep_s:.0f}s")
+            time.sleep(sleep_s)
+        log(f"attempt {i + 1}/{attempts} (timeout {timeout_s:.0f}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                stdout=subprocess.PIPE, stderr=None, text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            last_tail = f"attempt timed out after {timeout_s:.0f}s"
+            log(last_tail)
+            continue
+        out = (proc.stdout or "").strip()
+        line = out.splitlines()[-1] if out else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            try:
+                json.loads(line)
+            except ValueError:
+                last_tail = f"rc 0 but unparseable output: {line[:400]}"
+                log(last_tail)
+                continue
+            print(line, flush=True)
+            return 0
+        last_tail = f"rc {proc.returncode}; stdout tail: {out[-400:]!r}"
+        log(last_tail)
+
+    log(f"all {attempts} attempts failed")
+    validated = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_VALIDATED.json")
+    if os.path.exists(validated):
+        with open(validated) as f:
+            rec = json.load(f)
+        rec["live"] = False
+        rec["degraded"] = (
+            f"TPU backend unavailable after {attempts} attempts; reporting "
+            "the last validated on-chip record (BENCH_VALIDATED.json). "
+            f"Last failure: {last_tail[:300]}"
+        )
+        log("degrading to BENCH_VALIDATED.json record (flagged live=false)")
+        print(json.dumps(rec), flush=True)
+        return 0
+    log("no BENCH_VALIDATED.json to degrade to")
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--child" in sys.argv[1:]:
+        sys.exit(main())
+    sys.exit(supervise())

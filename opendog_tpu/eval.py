@@ -57,7 +57,17 @@ def main():
     state0 = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, obs_size)))
     step = None if args.ckpt in ("best", "latest") else int(args.ckpt)
-    params = ck.restore(step=step, template=jax.device_get(state0))
+    if sub == "best":
+        # best/ stores params only (train.py saves state.params there)
+        params = ck.restore(step=step, template=jax.device_get(state0))
+    else:
+        # <run>/ckpt stores the FULL TrainState (params + opt_state + env
+        # states + RNG, train.py save_interval path); restore untyped and
+        # pick .params — a params-only tree (older runs) lacks opt_state
+        raw = ck.restore(step=step)
+        if isinstance(raw, dict) and "opt_state" in raw:
+            raw = raw["params"]
+        params = raw
     if params is None:
         raise SystemExit(f"no checkpoint found under {run_dir}/{sub}")
     print(f"loaded {run_dir}/{sub} (step {ck.latest_step() if step is None else step})")

@@ -25,8 +25,12 @@ def make_sharded_ppo(env: Env, network, config: PPOConfig, mesh: Mesh,
     update step (``rl/ppo.py make_ppo(axis_name=...)``) — ONE learner over
     all rollouts, exactly the reference's gather-into-one-PPO semantics
     (``train/train.py:63-87``).  An N-device chunk reproduces the 1-device
-    chunk on the concatenated env batch (tests/test_parallel.py
-    ``test_sharded_ppo_matches_single_device``).
+    chunk on the concatenated env batch exactly when ``minibatch_size``
+    equals the full batch (tests/test_parallel.py
+    ``test_sharded_ppo_matches_single_device`` pins that case); with
+    smaller minibatches each shard permutes only its local slice, so
+    global minibatch membership differs from the single-device learner —
+    a valid stratified DP minibatching, not a bit-exact reproduction.
 
     ``config`` is GLOBAL: ``num_envs`` and ``minibatch_size`` are divided
     across shards.  Returns (init(key) -> TrainState, chunk(state, hyper)).

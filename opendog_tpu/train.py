@@ -93,8 +93,13 @@ def train(
 
     run_dir = os.path.join(out_dir, f"{task}_{seed}")
     adaptive = AdaptiveState()
+    step0 = 0  # checkpoint-step offset so resumed runs save fresh steps
     if resume:
         rck = Checkpointer(os.path.join(run_dir, "ckpt"))
+        # Checkpointer.save skips steps already in all_steps(); without the
+        # offset a resumed run whose total_chunks <= the previous latest
+        # step would silently never persist its new weights
+        step0 = rck.latest_step() or 0
         try:  # full-state checkpoint (params + optimizer + env + RNG)
             prev = rck.restore(template=jax.device_get(state))
             if prev is not None:
@@ -155,7 +160,7 @@ def train(
                   f"fwd_x {emetrics['forward_x']:.3f} m", flush=True)
             if emetrics["episode_return"] > best_return:
                 best_return = emetrics["episode_return"]
-                ck_best.save(i + 1, jax.device_get(state.params),
+                ck_best.save(step0 + i + 1, jax.device_get(state.params),
                              force=True)
             if video_interval and n_evals % video_interval == 0:
                 from .utils.render import record_rollout
@@ -169,7 +174,7 @@ def train(
             # FULL-state checkpoint (params + optimizer + env states +
             # RNG): a fresh process resumes the run exactly — the thing
             # the reference's weights-only saves cannot (SURVEY §5)
-            ck.save(i + 1, jax.device_get(state))
+            ck.save(step0 + i + 1, jax.device_get(state))
             import json
 
             with open(os.path.join(run_dir, "adaptive.json"), "w") as f:
@@ -181,9 +186,9 @@ def train(
                     return mean[0]
                 gait_json.generate_walk_json(
                     policy, env,
-                    os.path.join(run_dir, f"walk_rl_sym_ep{i + 1}.json"),
+                    os.path.join(run_dir, f"walk_rl_sym_ep{step0 + i + 1}.json"),
                 )
-    ck.save(total_chunks, jax.device_get(state), force=True)
+    ck.save(step0 + total_chunks, jax.device_get(state), force=True)
     writer.close()
     ck.close()
     ck_best.close()

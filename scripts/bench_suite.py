@@ -114,7 +114,9 @@ def main():
                final_x=round(float(q[0]), 2),
                healthy=bool(0.12 < q[2] < 0.5))
 
-    # ---- config 2c: terrain local-plane MPPI (the 802 solves/s claim:
+    # ---- config 2c: terrain local-plane MPPI (632 solves/s with this
+    # committed cost config; an earlier 802 number came from a lighter
+    # cost — see CLAUDE.md perf notes.
     # per-lane contact planes keep terrain rollouts on the fused kernel,
     # exact bilinear contact stays on the plant path) ----
     if "2c" not in args.skip and jax.default_backend() != "cpu":

@@ -83,6 +83,60 @@ def test_config_tree_defaults():
     assert DEFAULT.sym_walk.action_amplitude_deg == 40.0
 
 
+def _load_bench_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_supervisor_degrades_to_validated_record(monkeypatch, capsys):
+    """VERDICT r2 item 1: one tunnel flap must not erase the round's
+    headline.  With 0 attempts allowed the supervisor must emit the
+    committed validated record flagged live=false, rc 0."""
+    bench = _load_bench_module()
+    monkeypatch.setenv("OPENDOG_BENCH_ATTEMPTS", "0")
+    rc = bench.supervise()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rc == 0
+    assert rec["live"] is False
+    assert "degraded" in rec
+    assert rec["metric"] == "mpc_solves_per_sec_per_chip"
+
+
+def test_bench_supervisor_retries_then_succeeds(monkeypatch, capsys):
+    """Backend-unavailable on attempt 1 (fresh subprocess each time, since
+    JAX caches a failed backend init), success on attempt 2."""
+    import subprocess as sp
+
+    bench = _load_bench_module()
+    calls = {"n": 0}
+    good = json.dumps({"metric": "mpc_solves_per_sec_per_chip",
+                       "value": 1900.0, "live": True})
+
+    def fake_run(cmd, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return sp.CompletedProcess(cmd, 1, stdout="Traceback ...\n"
+                                       "RuntimeError: Unable to initialize "
+                                       "backend 'axon': UNAVAILABLE\n")
+        return sp.CompletedProcess(cmd, 0, stdout=f"warmup noise\n{good}\n")
+
+    monkeypatch.setenv("OPENDOG_BENCH_ATTEMPTS", "3")
+    monkeypatch.setenv("OPENDOG_BENCH_BACKOFF_S", "0.01")
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    rc = bench.supervise()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    assert calls["n"] == 2
+    assert json.loads(out)["value"] == 1900.0
+
+
 def test_flop_count_and_roofline():
     """Speed-of-light accounting (SURVEY §5 profiling gap)."""
     import jax.numpy as jnp
