@@ -8,6 +8,11 @@ from .gaits import (  # noqa: F401
     stance_vector,
     walk_straight,
 )
+from .mpc_bridge import (  # noqa: F401
+    MPCBridge,
+    make_bridge,
+    read_measured_angles,
+)
 from .run_policy import (  # noqa: F401
     action_to_target_degrees,
     build_observation,

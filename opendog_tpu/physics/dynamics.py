@@ -788,11 +788,25 @@ def step(
     ctrl: jax.Array,
     terrain: Optional[Terrain] = None,
     n_substeps: int = 1,
+    precision: Optional[str] = "highest",
 ) -> Tuple[State, StepInfo]:
     """Advance ``n_substeps`` physics substeps of ``model.timestep`` under a
     held control (MuJoCo ``frame_skip`` semantics — the reference steps 10
     substeps per control at 50 Hz, ``environments/WalkEnvironment.py:36``,
-    and 50 per policy step in the sim2real stack, ``sim2real/train.py:156``)."""
+    and 50 per policy step in the sim2real stack, ``sim2real/train.py:156``).
+
+    ``precision`` guards the tiny einsums/matmuls of the op-graph path
+    against TPU default-precision MXU rounding, which corrupts the physics
+    (~7e-3 qvel error/substep vs 3.1e-6 on the fused kernel — measured in
+    tests/test_pallas_core.py).  Default "highest" keeps every consumer
+    (envs, solvers, twins) numerically honest on TPU; the substep is
+    op-overhead-bound at these shapes so the cost is small (measured in
+    docs/PRECISION.md).  Pass ``None`` to inherit the ambient JAX default.
+    """
+    if precision is not None:
+        with jax.default_matmul_precision(precision):
+            return step(model, state, ctrl, terrain, n_substeps,
+                        precision=None)
     dt = model.timestep
 
     def substep(carry, _):

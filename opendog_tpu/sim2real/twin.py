@@ -28,37 +28,60 @@ class DigitalTwin:
         model,
         sign: Optional[Sequence[float]] = None,
         offset_deg: Optional[Sequence[float]] = None,
+        device=None,
     ):
+        """``device`` pins the twin to a specific backend (pass a CPU
+        device when the main backend is a remote TPU: the twin state is
+        read back to host every tick, and a blocking device->host fetch
+        over the axon tunnel costs ~40 ms RTT — apps/mpc_bridge.py)."""
         self.model = model
         self.cal = Calibration(model)
+        self.device = device
         self.sign = np.asarray(
             sign if sign is not None else np.ones(8), np.float32
         )
         self.offset_deg = np.asarray(
             offset_deg if offset_deg is not None else np.zeros(8), np.float32
         )
-        self.state = make_state(model, "home")
-        self._step = jax.jit(
-            lambda s, c: dynamics.step(model, s, c, n_substeps=1)[0]
-        )
+        with self._on_device():
+            self.state = make_state(model, "home")
+            if device is not None:
+                self.state = jax.device_put(self.state, device)
+        self._step_cache = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+
+    def _on_device(self):
+        import contextlib
+
+        return (jax.default_device(self.device) if self.device is not None
+                else contextlib.nullcontext())
 
     def real_angles_to_ctrl(self, angles_deg: Sequence[float]) -> jnp.ndarray:
         """Real encoder degrees (calibration order) → clamped sim ctrl in
         model order (view.py:268-284 + run.py:60-79)."""
         corrected = self.sign * np.asarray(angles_deg, np.float32) + self.offset_deg
-        sim_cal = self.cal.real_deg_to_sim_rad(jnp.asarray(corrected))
-        inv = np.argsort(self.cal.model_actuator_index)
-        return sim_cal[inv]
+        with self._on_device():
+            sim_cal = self.cal.real_deg_to_sim_rad(jnp.asarray(corrected))
+            inv = np.argsort(self.cal.model_actuator_index)
+            return sim_cal[inv]
+
+    def _step(self, substeps: int):
+        """One jitted ``substeps``-substep advance (cached per count: a
+        single dispatch per mirror tick, not ``substeps`` of them)."""
+        if substeps not in self._step_cache:
+            self._step_cache[substeps] = jax.jit(
+                lambda s, c: dynamics.step(
+                    self.model, s, c, n_substeps=substeps)[0]
+            )
+        return self._step_cache[substeps]
 
     def mirror_once(self, angles_deg: Sequence[float], substeps: int = 8):
         """Apply one angle snapshot and advance the sim."""
         ctrl = self.real_angles_to_ctrl(angles_deg)
-        with self._lock:
-            for _ in range(substeps):
-                self.state = self._step(self.state, ctrl)
+        with self._lock, self._on_device():
+            self.state = self._step(substeps)(self.state, ctrl)
             return self.state
 
     def snapshot(self) -> State:
