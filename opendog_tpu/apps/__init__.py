@@ -13,6 +13,12 @@ from .mpc_bridge import (  # noqa: F401
     make_bridge,
     read_measured_angles,
 )
+from .voice_frontend import (  # noqa: F401
+    KeywordSpotter,
+    make_dtw_transcriber,
+    synthesize_phrase,
+    synthesize_word,
+)
 from .run_policy import (  # noqa: F401
     action_to_target_degrees,
     build_observation,
