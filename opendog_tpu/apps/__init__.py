@@ -13,6 +13,13 @@ from .mpc_bridge import (  # noqa: F401
     make_bridge,
     read_measured_angles,
 )
+from .slam import (  # noqa: F401
+    CamConfig,
+    TerrainLocalizer,
+    point_to_plane_icp,
+    render_depth,
+    simulate_walk_localization,
+)
 from .voice_frontend import (  # noqa: F401
     KeywordSpotter,
     make_dtw_transcriber,
