@@ -26,6 +26,9 @@ class MPCCarry:
     plant: State
     solver: mppi.MPPIState
     key: jax.Array
+    # FIFO of not-yet-applied controls when ctrl_lag > 0 (shape (lag, nu));
+    # scalar 0 when the loop runs lag-free
+    ctrl_queue: jax.Array = struct.field(default=0)
 
 
 def make_mpc(
@@ -36,10 +39,17 @@ def make_mpc(
     terrain: Optional[Terrain] = None,
     mesh=None,
     sample_axis: str = "mp",
+    ctrl_lag: int = 0,
 ):
     """Returns (init(key, physics_state) -> carry, tick(carry) -> (carry,
     info), run(carry, n) -> (carry, traj)).  ``mesh`` shards the MPPI
-    sample axis over devices (see ``mppi.make_solver``)."""
+    sample axis over devices (see ``mppi.make_solver``).
+
+    ``ctrl_lag`` simulates the deployment pipeline ON-DEVICE: the plant
+    applies the solve from ``ctrl_lag`` ticks ago (exactly what
+    ``RealtimeController`` does over the tunnel with ``lag`` pipelining),
+    so the price of acting on an old plan is measurable in sim
+    (scripts/lag_sweep.py, VERDICT r2 item 5)."""
     solve = mppi.make_solver(model, step_cost, config, terrain=terrain,
                              mesh=mesh, sample_axis=sample_axis)
 
@@ -66,19 +76,33 @@ def make_mpc(
                                    n_substeps=plant_substeps)
             return st2
 
+    rng = np.asarray(model.actuator_ctrlrange, np.float32)
+    hold_ctrl = np.clip(np.asarray(model.key_ctrl[0], np.float32),
+                        rng[:, 0], rng[:, 1])
+
     def init(key, physics_state: State) -> MPCCarry:
+        queue = (jnp.tile(jnp.asarray(hold_ctrl)[None], (ctrl_lag, 1))
+                 if ctrl_lag > 0 else jnp.zeros(()))
         return MPCCarry(
             plant=physics_state,
             solver=mppi.init_state(model, config),
             key=key,
+            ctrl_queue=queue,
         )
 
     def tick(carry: MPCCarry):
         key, sub = jax.random.split(carry.key)
         ctrl, solver_state, stats = solve(carry.plant, carry.solver, sub)
-        plant = plant_step(carry.plant, ctrl)
-        out = dict(ctrl=ctrl, qpos=plant.qpos, qvel=plant.qvel, **stats)
-        return MPCCarry(plant=plant, solver=solver_state, key=key), out
+        if ctrl_lag > 0:
+            applied = carry.ctrl_queue[0]
+            queue = jnp.concatenate([carry.ctrl_queue[1:], ctrl[None]],
+                                    axis=0)
+        else:
+            applied, queue = ctrl, carry.ctrl_queue
+        plant = plant_step(carry.plant, applied)
+        out = dict(ctrl=applied, qpos=plant.qpos, qvel=plant.qvel, **stats)
+        return MPCCarry(plant=plant, solver=solver_state, key=key,
+                        ctrl_queue=queue), out
 
     def run(carry: MPCCarry, n_ticks: int):
         return jax.lax.scan(lambda c, _: tick(c), carry, None, length=n_ticks)

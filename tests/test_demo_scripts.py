@@ -37,3 +37,17 @@ def test_distill_walk_smoke(tmp_path):
     res = _run("distill_walk.py", tmp_path, extra=("--robot", "go1"))
     assert res["eval_ticks"] == 3
     assert res["rounds"] == 1
+
+
+def test_lag_sweep_smoke(tmp_path):
+    out = os.path.join(tmp_path, "lag.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "lag_sweep.py"),
+         "--smoke", "--ticks", "20", "--seeds", "1", "--lags", "0", "3",
+         "--out", out],
+        env=ENV, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out))
+    assert res["metric"] == "lag_sweep"
+    assert [x["lag"] for x in res["results"]] == [0, 3]
+    assert res["final_x_lag3_vs_lag0"] is not None

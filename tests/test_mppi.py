@@ -108,3 +108,32 @@ def test_trot_cost_desired_yaw_turns_preference():
     # wrap-around: yaw = target + 2*pi costs the same as the target
     c_wrap = float(cost(with_yaw(jnp.pi / 2 + 2 * jnp.pi), u, u))
     np.testing.assert_allclose(c_wrap, c_target, rtol=1e-4, atol=1e-4)
+
+
+def test_mpc_ctrl_lag_pipeline_semantics():
+    """ctrl_lag=k simulates the deployment pipeline on-device: the first k
+    ticks apply the hold control, and tick k applies the solve computed
+    from the INITIAL state — i.e. exactly the lag-0 run's first control
+    (same PRNG stream, same state)."""
+    m = load_opendog("flat")
+    cost = costs.standing_cost(
+        m, target_height=0.0694, home_joint_qpos=np.asarray(m.key_qpos[0])[7:]
+    )
+    cfg = MPPIConfig(horizon=4, num_samples=16, n_substeps=1,
+                     rollout_dt=0.01, noise_sigma=0.05)
+    lo = np.asarray(m.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(m.actuator_ctrlrange)[:, 1]
+    hold = np.clip(np.asarray(m.key_ctrl[0]), lo, hi)
+
+    init0, _, run0 = make_mpc(m, cost, cfg, plant_substeps=2, ctrl_lag=0)
+    init2, _, run2 = make_mpc(m, cost, cfg, plant_substeps=2, ctrl_lag=2)
+    c0 = init0(jax.random.PRNGKey(7), make_state(m, "home"))
+    c2 = init2(jax.random.PRNGKey(7), make_state(m, "home"))
+    _, t0 = jax.jit(lambda c: run0(c, 4))(c0)
+    _, t2 = jax.jit(lambda c: run2(c, 4))(c2)
+    ctrl0 = np.asarray(t0["ctrl"])
+    ctrl2 = np.asarray(t2["ctrl"])
+    np.testing.assert_allclose(ctrl2[0], hold, atol=1e-6)
+    np.testing.assert_allclose(ctrl2[1], hold, atol=1e-6)
+    # tick 2 applies solve(state_0) == the lag-0 run's first control
+    np.testing.assert_allclose(ctrl2[2], ctrl0[0], rtol=1e-5, atol=1e-6)
