@@ -12,6 +12,7 @@ Run on the TPU (default backend).  Expect several minutes of compiles.
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -332,6 +333,31 @@ def main():
                    env_ticks_per_sec=round(B * n / dt, 1),
                    meets_4096_per_tick=bool(B * n / dt >= 4096 * 50),
                    all_finite=bool(np.isfinite(np.asarray(qv)).all()))
+
+    # ---- config 2e: terrain planning fidelity (VERDICT r2 item 6) —
+    # local-plane fused planning vs exact-bilinear op-graph planning,
+    # same rough terrains, QUALITY metrics not just solves/s ----
+    if "2e" not in args.skip and jax.default_backend() != "cpu":
+        import importlib.util as _ilu
+        import io
+        from contextlib import redirect_stdout
+
+        _spec = _ilu.spec_from_file_location(
+            "terrain_fidelity",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "terrain_fidelity.py"))
+        _tf = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_tf)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            _tf.main(["--ticks", "200", "--seeds", "0", "2"])
+        fid = json.loads(buf.getvalue().strip().splitlines()[-1])
+        record("2e_terrain_fidelity",
+               plane_arm=fid["plane_arm"],
+               exact=fid["exact"],
+               plane=fid[fid["plane_arm"]],
+               distance_ratio=fid["distance_ratio_plane_vs_exact"],
+               cost_ratio=fid["cost_ratio_plane_vs_exact"])
 
     # ---- config 5: one MPC->policy distillation round (mini config) ----
     if "5" not in args.skip:

@@ -51,3 +51,17 @@ def test_lag_sweep_smoke(tmp_path):
     assert res["metric"] == "lag_sweep"
     assert [x["lag"] for x in res["results"]] == [0, 3]
     assert res["final_x_lag3_vs_lag0"] is not None
+
+
+def test_terrain_fidelity_smoke(tmp_path):
+    out = os.path.join(tmp_path, "fid.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "terrain_fidelity.py"),
+         "--smoke", "--out", out],
+        env=ENV, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out))
+    assert res["metric"] == "terrain_planning_fidelity"
+    assert res["exact"]["success_rate"] == 1.0
+    assert res[res["plane_arm"]]["success_rate"] == 1.0
