@@ -27,9 +27,18 @@ class TrotDistillSetup(NamedTuple):
     z_band: tuple          # healthy trunk-height band
 
 
-def trot_distill_setup(robot: str = "go1", engine: str = "xla"
+def trot_distill_setup(robot: str = "go1", engine: str = "xla",
+                       pc_overrides=None, gait_center=None,
                        ) -> TrotDistillSetup:
-    """The configuration that produced runs/distill_<robot>/."""
+    """The configuration that produced runs/distill_<robot>/.
+
+    ``pc_overrides`` replaces TrotCostParams fields; ``gait_center`` =
+    (thigh_rad, knee_rad) recenters the gait reference away from the
+    keyframe home.  The OpenDOG home thigh (2.356 rad) sits AT the bottom
+    of its ctrlrange [2.36, 2.8] (our_robot.xml:13-21), so a home-centered
+    reference loses the whole backward half of its swing to the clamp —
+    recentring at mid-range is what unlocks the stride (round-3 sweep,
+    scripts/opendog_walk_sweep.py)."""
     if robot == "go1":
         model = load_go1("flat")
         pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
@@ -43,7 +52,14 @@ def trot_distill_setup(robot: str = "go1", engine: str = "xla"
         z_band = (0.035, 0.12)
     else:
         raise ValueError(robot)
-    home_j = np.asarray(model.key_qpos[0])[7:]
+    if pc_overrides:
+        pc = pc._replace(**pc_overrides)
+    home_j = np.asarray(model.key_qpos[0])[7:].copy()
+    if gait_center is not None:
+        assert robot == "opendog", "gait_center wired for the 8-DoF layout"
+        thigh_c, knee_c = gait_center
+        home_j[np.array([0, 2, 4, 6])] = thigh_c
+        home_j[np.array([1, 3, 5, 7])] = knee_c
     cost = costs.trot_cost(model, pc, home_j, legs=robot)
     u_ref = costs.trot_gait_ref(model, pc, home_j, legs=robot)
     period = pc.period_s

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""OpenDOG trot-MPC sweep — make the namesake robot walk (VERDICT r2 #2).
+
+Round-2 state: the 8-DoF OpenDOG MPC plant covered only ~0.28 m / 10 s.
+Root cause candidate found in round 3: the gait reference was centered on
+the HOME keyframe (thigh 2.356 rad), which sits AT the bottom edge of the
+thigh ctrlrange [2.36, 2.8] (our_robot.xml:13-21) — the entire backward
+half of the thigh swing was clipped away, halving the stride.  This sweep
+recenters the gait (thigh mid-range, knee with lift headroom), auto-derives
+the matching stance height by settling the plant on the center pose, and
+sweeps amplitude / period / knee lift / noise / velocity target, measuring
+each config's actual plant distance over ``--ticks`` 50 Hz ticks on-device.
+
+Output: per-config JSON lines + the best config; ``--out`` saves everything
+(runs/opendog_sweep/metrics.json is the committed artifact).
+"""
+import argparse
+import itertools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=500)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="wider grid (more compile time)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from opendog_tpu.physics import dynamics, make_state
+    from opendog_tpu.rl.distill_zoo import trot_distill_setup
+    from opendog_tpu.solvers import make_mpc
+
+    def log(msg):
+        print(f"[opendog_sweep] {msg}", file=sys.stderr, flush=True)
+
+    engine = "pallas" if jax.default_backend() != "cpu" else "xla"
+    ticks = 30 if args.smoke else args.ticks
+
+    # ctrlrange: thigh [2.36, 2.8], knee [-1.8, -1.2]
+    if args.smoke:
+        grid = dict(thigh_center=[2.58], thigh_amp=[0.20],
+                    knee_center=[-1.5], knee_lift=[0.25],
+                    period_s=[0.4], noise_sigma=[0.10],
+                    vx=[0.15], w_gait=[8.0])
+    elif args.full:
+        grid = dict(thigh_center=[2.50, 2.58, 2.66],
+                    thigh_amp=[0.14, 0.20, 0.22],
+                    knee_center=[-1.55, -1.45],
+                    knee_lift=[0.2, 0.3],
+                    period_s=[0.3, 0.4, 0.5],
+                    noise_sigma=[0.08, 0.12],
+                    vx=[0.12, 0.18],
+                    w_gait=[8.0, 16.0])
+    else:
+        grid = dict(thigh_center=[2.58],
+                    thigh_amp=[0.14, 0.20],
+                    knee_center=[-1.5],
+                    knee_lift=[0.2, 0.3],
+                    period_s=[0.3, 0.4],
+                    noise_sigma=[0.10],
+                    vx=[0.12, 0.18],
+                    w_gait=[8.0])
+
+    keys = list(grid)
+    combos = [dict(zip(keys, vals))
+              for vals in itertools.product(*(grid[k] for k in keys))]
+    log(f"{len(combos)} configs x {ticks} ticks on {engine}")
+
+    results = []
+    settle_cache = {}
+    for ci, g in enumerate(combos):
+        # stance height for this gait center: settle the plant holding the
+        # center pose (target_height must match the recentered stance)
+        ck = (g["thigh_center"], g["knee_center"])
+        if ck not in settle_cache:
+            setup0 = trot_distill_setup("opendog", engine="xla")
+            m = setup0.model
+            center_ctrl = np.asarray(m.key_ctrl[0], np.float32).copy()
+            idx = np.asarray(m.actuator_qposadr) - 7
+            cj = np.zeros(8, np.float32)
+            cj[np.array([0, 2, 4, 6])] = g["thigh_center"]
+            cj[np.array([1, 3, 5, 7])] = g["knee_center"]
+            center_ctrl = cj[idx]
+            s = make_state(m, "home")
+            st = jax.jit(lambda s0: jax.lax.scan(
+                lambda a, _: (dynamics.step(m, a, jnp.asarray(center_ctrl),
+                                            n_substeps=10)[0], None),
+                s0, None, length=50)[0])(s)
+            settle_cache[ck] = (float(np.asarray(st.qpos)[2]), center_ctrl)
+        z_stance, _cc = settle_cache[ck]
+
+        setup = trot_distill_setup(
+            "opendog", engine=engine,
+            pc_overrides=dict(
+                desired_vel_xy=(g["vx"], 0.0),
+                target_height=z_stance,
+                thigh_amp=g["thigh_amp"], knee_lift=g["knee_lift"],
+                period_s=g["period_s"], w_gait=g["w_gait"]),
+            gait_center=(g["thigh_center"], g["knee_center"]),
+        )
+        cfg = setup.mppi_config._replace(
+            num_samples=64 if args.smoke else 256,
+            noise_sigma=g["noise_sigma"])
+        init, tick, run = make_mpc(setup.model, setup.cost, cfg,
+                                   plant_substeps=10)
+        # settle first: the opendog keyframe starts ~13 cm in the air
+        # (same pre-roll as scripts/distill_walk.py)
+        mset = setup.model
+        hold = jnp.asarray(np.clip(
+            np.asarray(mset.key_ctrl[0], np.float32),
+            np.asarray(mset.actuator_ctrlrange)[:, 0],
+            np.asarray(mset.actuator_ctrlrange)[:, 1]))
+        s0 = jax.jit(lambda s: jax.lax.scan(
+            lambda a, _: (dynamics.step(mset, a, hold,
+                                        n_substeps=10)[0], None),
+            s, None, length=30)[0])(make_state(mset, "home"))
+        s0 = s0.replace(time=jnp.zeros_like(s0.time))
+        carry = init(jax.random.PRNGKey(0), s0)
+        t0 = time.time()
+        carry, traj = jax.jit(lambda c, _n=ticks: run(c, _n))(carry)
+        qpos = np.asarray(traj["qpos"])
+        wall = time.time() - t0
+        z = qpos[:, 2]
+        fell = bool((z < 0.03).any() or (z > 0.15).any()
+                    or not np.isfinite(qpos).all())
+        rec = dict(g, final_x=round(float(qpos[-1, 0]), 4),
+                   z_stance=round(z_stance, 4),
+                   fell=fell, wall_s=round(wall, 1))
+        results.append(rec)
+        log(f"[{ci + 1}/{len(combos)}] {json.dumps(rec)}")
+
+    ok = [r for r in results if not r["fell"]]
+    best = max(ok or results, key=lambda r: r["final_x"])
+    per10s = best["final_x"] * (500 / ticks)
+    summary = dict(
+        metric="opendog_walk_sweep", engine=engine, ticks=ticks,
+        configs=len(combos), best=best,
+        best_final_x=best["final_x"],
+        projected_x_per_10s=round(per10s, 3),
+        walks_1m_in_10s=bool(ticks >= 500 and best["final_x"] >= 1.0),
+        results=results, device=str(jax.devices()[0]),
+    )
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,17 @@ def test_terrain_fidelity_smoke(tmp_path):
     assert res["metric"] == "terrain_planning_fidelity"
     assert res["exact"]["success_rate"] == 1.0
     assert res[res["plane_arm"]]["success_rate"] == 1.0
+
+
+def test_opendog_walk_sweep_smoke(tmp_path):
+    out = os.path.join(tmp_path, "sweep.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "opendog_walk_sweep.py"),
+         "--smoke", "--out", out],
+        env=ENV, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out))
+    assert res["metric"] == "opendog_walk_sweep"
+    assert res["best"]["fell"] is False
+    assert res["best_final_x"] > 0.0
