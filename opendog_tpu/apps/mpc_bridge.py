@@ -197,9 +197,29 @@ def main():
     p.add_argument("--port2", type=int, default=12347)
     p.add_argument("--listen_port", type=int, default=12345)
     p.add_argument("--out", default=None)
+    p.add_argument("--spawn_firmware", action="store_true",
+                   help="launch the two C++ firmware sims on loopback")
     args = p.parse_args()
 
     from ..sdk import QuadPilotBody
+
+    procs = []
+    if args.spawn_firmware:
+        import os
+        import subprocess
+
+        fw_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "native", "firmware_sim")
+        binpath = os.path.join(fw_dir, "firmware_sim")
+        if not os.path.exists(binpath):
+            subprocess.run(["make", "-C", fw_dir], check=True,
+                           capture_output=True)
+        procs = [subprocess.Popen(
+            [binpath, "--port", str(pp),
+             "--telemetry-port", str(args.listen_port)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            for pp in (args.port1, args.port2)]
+        time.sleep(0.3)
 
     body = QuadPilotBody(ip1="127.0.0.1", ip2="127.0.0.1",
                          port1=args.port1, port2=args.port2,
@@ -218,6 +238,10 @@ def main():
         with open(args.out, "w") as f:
             json.dump(m, f, indent=1)
     body.close()
+    for pr in procs:
+        pr.terminate()
+    for pr in procs:
+        pr.wait(timeout=5)
 
 
 if __name__ == "__main__":
