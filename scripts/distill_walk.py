@@ -32,6 +32,15 @@ def main():
                     help="randomize carried trunk payload in [0, max] kg")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU config: pipeline exercise only")
+    ap.add_argument("--pc", default=None,
+                    help="JSON dict of TrotCostParams overrides "
+                         "(e.g. the opendog_walk_sweep winner)")
+    ap.add_argument("--gait_center", type=float, nargs=2, default=None,
+                    metavar=("THIGH", "KNEE"),
+                    help="recenter the gait reference (rad); see "
+                         "rl/distill_zoo.trot_distill_setup")
+    ap.add_argument("--sigma", type=float, default=None,
+                    help="override MPPI noise_sigma (sweep winner)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +53,14 @@ def main():
     from opendog_tpu.rl.distill_zoo import trot_distill_setup
 
     engine = "pallas" if jax.default_backend() != "cpu" else "xla"
-    setup = trot_distill_setup(args.robot, engine=engine)
+    pc_overrides = json.loads(args.pc) if args.pc else None
+    if pc_overrides and "desired_vel_xy" in pc_overrides:
+        pc_overrides["desired_vel_xy"] = tuple(
+            pc_overrides["desired_vel_xy"])
+    setup = trot_distill_setup(
+        args.robot, engine=engine, pc_overrides=pc_overrides,
+        gait_center=(tuple(args.gait_center)
+                     if args.gait_center else None))
     if args.smoke:
         from opendog_tpu.solvers import MPPIConfig
 
@@ -52,6 +68,9 @@ def main():
         setup = setup._replace(mppi_config=MPPIConfig(
             horizon=3, num_samples=8, n_substeps=1, rollout_dt=0.01,
             engine=engine))
+    if args.sigma is not None:
+        setup = setup._replace(mppi_config=setup.mppi_config._replace(
+            noise_sigma=args.sigma))
     m, cost, u_ref, obs_fn, net = (setup.model, setup.cost, setup.u_ref,
                                    setup.obs_fn, setup.net)
     mcfg, z_band = setup.mppi_config, setup.z_band

@@ -11,7 +11,15 @@ CAM_DIR = os.path.join(
     os.path.dirname(__file__), "..", "opendog_tpu", "native", "camera_sim"
 )
 BIN = os.path.join(CAM_DIR, "camera_sim")
-PORT = 18181
+def _worker_offset() -> int:
+    w = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
+    try:
+        return 20 * int(w[2:])
+    except ValueError:
+        return 0
+
+
+PORT = 18181 + _worker_offset()
 
 
 @pytest.fixture(scope="module")

@@ -21,8 +21,18 @@ FIRMWARE_DIR = os.path.join(
 )
 BIN = os.path.join(FIRMWARE_DIR, "firmware_sim")
 
-LISTEN = 18445
-PORT1, PORT2 = 18446, 18447
+
+def _worker_offset() -> int:
+    """Unique port offset per pytest-xdist worker (gw0, gw1, ...) so
+    test-level load distribution can't collide fixture ports."""
+    w = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
+    try:
+        return 20 * int(w[2:])
+    except ValueError:
+        return 0
+
+LISTEN = 18845 + _worker_offset()
+PORT1, PORT2 = LISTEN + 1, LISTEN + 2
 
 
 @pytest.fixture(scope="module")
