@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--full", action="store_true",
                     help="wider grid (more compile time)")
+    ap.add_argument("--refine", action="store_true",
+                    help="narrow grid around the CPU-ranking winner "
+                         "(runs/opendog_sweep/metrics_cpu_rank.json)")
+    ap.add_argument("--samples", type=int, default=None,
+                    help="MPPI rollouts per tick (default 256; lower it "
+                         "for a CPU ranking pass while the chip is down)")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,6 +66,17 @@ def main(argv=None):
                     noise_sigma=[0.08, 0.12],
                     vx=[0.12, 0.18],
                     w_gait=[8.0, 16.0])
+    elif args.refine:
+        # CPU ranking winner: amp .2 > .14, lift .2 > .3, period .4 > .3,
+        # vx .18 > .12 — push each winning direction further.
+        grid = dict(thigh_center=[2.58],
+                    thigh_amp=[0.20, 0.22],
+                    knee_center=[-1.5],
+                    knee_lift=[0.12, 0.2],
+                    period_s=[0.4, 0.5],
+                    noise_sigma=[0.10],
+                    vx=[0.18, 0.28],
+                    w_gait=[8.0])
     else:
         grid = dict(thigh_center=[2.58],
                     thigh_amp=[0.14, 0.20],
@@ -108,7 +125,7 @@ def main(argv=None):
             gait_center=(g["thigh_center"], g["knee_center"]),
         )
         cfg = setup.mppi_config._replace(
-            num_samples=64 if args.smoke else 256,
+            num_samples=args.samples or (64 if args.smoke else 256),
             noise_sigma=g["noise_sigma"])
         init, tick, run = make_mpc(setup.model, setup.cost, cfg,
                                    plant_substeps=10)
