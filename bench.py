@@ -24,6 +24,9 @@ import time
 import numpy as np
 
 
+INIT_SENTINEL = "[bench] devices ok:"
+
+
 def main():
     import jax
 
@@ -31,6 +34,12 @@ def main():
     from opendog_tpu.assets import load_go1
     from opendog_tpu.physics import make_state
     from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
+
+    # First device touch up front: when the axon tunnel is down this HANGS
+    # (not errors), so the supervisor watches for this sentinel and kills
+    # attempts that don't reach it within the (short) init timeout instead
+    # of burning the full run timeout per attempt.
+    print(f"{INIT_SENTINEL} {jax.devices()}", file=sys.stderr, flush=True)
 
     model = load_go1("flat")
     params = costs.TrotCostParams(
@@ -183,12 +192,54 @@ def supervise():
          record is honest about its provenance, rc 0;
       3. no validated record -> rc 1 with the last attempt's tail on stderr.
     """
+    import threading
+
     attempts = int(os.environ.get("OPENDOG_BENCH_ATTEMPTS", "5"))
     backoff_s = float(os.environ.get("OPENDOG_BENCH_BACKOFF_S", "60"))
     timeout_s = float(os.environ.get("OPENDOG_BENCH_TIMEOUT_S", "2400"))
+    # A down tunnel makes the first jax.devices() HANG rather than raise;
+    # without a separate (short) init timeout each attempt would burn the
+    # full run timeout (5 x 40 min) before degrading — longer than the
+    # driver waits.  420 s covers a slow-but-alive tunnel bring-up.
+    init_timeout_s = float(os.environ.get("OPENDOG_BENCH_INIT_TIMEOUT_S",
+                                          "420"))
 
     def log(msg):
         print(f"[bench-supervisor] {msg}", file=sys.stderr, flush=True)
+
+    def run_attempt():
+        """Run one child; return (rc, stdout) with rc=None on timeout."""
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        init_seen = threading.Event()
+
+        def drain_stderr():
+            for ln in proc.stderr:
+                if INIT_SENTINEL in ln:
+                    init_seen.set()
+                sys.stderr.write(ln)
+                sys.stderr.flush()
+
+        t = threading.Thread(target=drain_stderr, daemon=True)
+        t.start()
+        start = time.time()
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                return rc, proc.stdout.read() or ""
+            elapsed = time.time() - start
+            if not init_seen.is_set() and elapsed > init_timeout_s:
+                proc.kill()
+                proc.wait()
+                return None, (f"no device init within {init_timeout_s:.0f}s "
+                              "(tunnel hang) — attempt killed")
+            if elapsed > timeout_s:
+                proc.kill()
+                proc.wait()
+                return None, f"attempt timed out after {timeout_s:.0f}s"
+            time.sleep(1.0)
 
     last_tail = ""
     for i in range(attempts):
@@ -196,20 +247,16 @@ def supervise():
             sleep_s = backoff_s * i
             log(f"attempt {i} failed; backing off {sleep_s:.0f}s")
             time.sleep(sleep_s)
-        log(f"attempt {i + 1}/{attempts} (timeout {timeout_s:.0f}s)")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                stdout=subprocess.PIPE, stderr=None, text=True,
-                timeout=timeout_s,
-            )
-        except subprocess.TimeoutExpired:
-            last_tail = f"attempt timed out after {timeout_s:.0f}s"
+        log(f"attempt {i + 1}/{attempts} (timeout {timeout_s:.0f}s, "
+            f"init timeout {init_timeout_s:.0f}s)")
+        rc, out = run_attempt()
+        if rc is None:
+            last_tail = out
             log(last_tail)
             continue
-        out = (proc.stdout or "").strip()
+        out = out.strip()
         line = out.splitlines()[-1] if out else ""
-        if proc.returncode == 0 and line.startswith("{"):
+        if rc == 0 and line.startswith("{"):
             try:
                 json.loads(line)
             except ValueError:
@@ -218,7 +265,7 @@ def supervise():
                 continue
             print(line, flush=True)
             return 0
-        last_tail = f"rc {proc.returncode}; stdout tail: {out[-400:]!r}"
+        last_tail = f"rc {rc}; stdout tail: {out[-400:]!r}"
         log(last_tail)
 
     log(f"all {attempts} attempts failed")

@@ -109,32 +109,75 @@ def test_bench_supervisor_degrades_to_validated_record(monkeypatch, capsys):
     assert rec["metric"] == "mpc_solves_per_sec_per_chip"
 
 
+class _FakeProc:
+    """Stand-in for subprocess.Popen in supervisor tests."""
+
+    def __init__(self, rc, out, err_lines, hang=False):
+        import io
+
+        self._rc, self._hang = rc, hang
+        self.stdout = io.StringIO(out)
+        self.stderr = iter(err_lines)
+        self.killed = False
+
+    def poll(self):
+        return None if (self._hang and not self.killed) else self._rc
+
+    def kill(self):
+        self.killed = True
+
+    def wait(self):
+        return self._rc
+
+
 def test_bench_supervisor_retries_then_succeeds(monkeypatch, capsys):
     """Backend-unavailable on attempt 1 (fresh subprocess each time, since
     JAX caches a failed backend init), success on attempt 2."""
-    import subprocess as sp
-
     bench = _load_bench_module()
     calls = {"n": 0}
     good = json.dumps({"metric": "mpc_solves_per_sec_per_chip",
                        "value": 1900.0, "live": True})
 
-    def fake_run(cmd, **kw):
+    def fake_popen(cmd, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            return sp.CompletedProcess(cmd, 1, stdout="Traceback ...\n"
-                                       "RuntimeError: Unable to initialize "
-                                       "backend 'axon': UNAVAILABLE\n")
-        return sp.CompletedProcess(cmd, 0, stdout=f"warmup noise\n{good}\n")
+            return _FakeProc(1, "Traceback ...\nRuntimeError: Unable to "
+                             "initialize backend 'axon': UNAVAILABLE\n", [])
+        return _FakeProc(0, f"warmup noise\n{good}\n",
+                         [f"{bench.INIT_SENTINEL} [TpuDevice(id=0)]\n"])
 
     monkeypatch.setenv("OPENDOG_BENCH_ATTEMPTS", "3")
     monkeypatch.setenv("OPENDOG_BENCH_BACKOFF_S", "0.01")
-    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
     rc = bench.supervise()
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert rc == 0
     assert calls["n"] == 2
     assert json.loads(out)["value"] == 1900.0
+
+
+def test_bench_supervisor_kills_tunnel_hang(monkeypatch, capsys):
+    """A down axon tunnel HANGS the first device touch (it does not raise);
+    the supervisor must kill such attempts at the short init timeout
+    instead of burning the full run timeout, then degrade honestly."""
+    bench = _load_bench_module()
+    calls = {"n": 0}
+
+    def fake_popen(cmd, **kw):
+        calls["n"] += 1
+        return _FakeProc(None, "", [], hang=True)  # never prints sentinel
+
+    monkeypatch.setenv("OPENDOG_BENCH_ATTEMPTS", "2")
+    monkeypatch.setenv("OPENDOG_BENCH_BACKOFF_S", "0.01")
+    monkeypatch.setenv("OPENDOG_BENCH_INIT_TIMEOUT_S", "0.01")
+    monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+    rc = bench.supervise()
+    out = capsys.readouterr()
+    assert calls["n"] == 2
+    assert "tunnel hang" in out.err
+    # degrades to the committed validated record, rc 0
+    rec = json.loads(out.out.strip().splitlines()[-1])
+    assert rc == 0 and rec["live"] is False
 
 
 def test_flop_count_and_roofline():
