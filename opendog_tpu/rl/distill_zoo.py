@@ -38,7 +38,8 @@ def trot_distill_setup(robot: str = "go1", engine: str = "xla",
     of its ctrlrange [2.36, 2.8] (our_robot.xml:13-21), so a home-centered
     reference loses the whole backward half of its swing to the clamp —
     recentring at mid-range is what unlocks the stride (round-3 sweep,
-    scripts/opendog_walk_sweep.py)."""
+    scripts/opendog_walk_sweep.py); opendog therefore defaults
+    ``gait_center`` to the sweep winner (2.58, -1.5)."""
     if robot == "go1":
         model = load_go1("flat")
         pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
@@ -46,9 +47,16 @@ def trot_distill_setup(robot: str = "go1", engine: str = "xla",
         z_band = (0.12, 0.45)
     elif robot == "opendog":
         model = load_opendog("flat")
-        pc = costs.TrotCostParams(desired_vel_xy=(0.3, 0.0),
-                                  target_height=0.0665, thigh_amp=0.12,
-                                  knee_lift=0.25, w_height=80.0)
+        # The round-3 sweep winner (runs/opendog_sweep/metrics_refine_cpu
+        # .json): full-range thigh swing (amp 0.22 around mid-range 2.58),
+        # LOW knee lift (0.12 — high lift trades stride for bounce on this
+        # 7 cm-tall robot), 0.4 s period, 0.28 m/s target.  Plant covers
+        # 1.26 m / 10 s; the old home-centered reference managed 0.28 m.
+        pc = costs.TrotCostParams(desired_vel_xy=(0.28, 0.0),
+                                  target_height=0.0703, thigh_amp=0.22,
+                                  knee_lift=0.12, w_height=80.0)
+        if gait_center is None:
+            gait_center = (2.58, -1.5)
         z_band = (0.035, 0.12)
     else:
         raise ValueError(robot)
