@@ -26,6 +26,7 @@ minimises it, plus the zero-delay raw value).
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Callable, Optional
 
@@ -235,6 +236,8 @@ def main():
     m = bridge.run(args.ticks, rate_hz=args.rate_hz)
     print(json.dumps(m))
     if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(m, f, indent=1)
     body.close()

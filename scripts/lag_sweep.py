@@ -16,6 +16,7 @@ CPU smoke: ``--smoke`` shrinks the config so tests can pin the plumbing.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -115,6 +116,8 @@ def main(argv=None):
     }
     print(json.dumps(summary))
     if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=1)
 

@@ -22,6 +22,7 @@ the terrain under it).  Summary compares the arms.
 """
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -197,6 +198,8 @@ def main(argv=None):
         if e["realized_cost_mean"] else None
     print(json.dumps(summary))
     if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=1)
 
