@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..physics.dynamics import _terrain_height_normal
-from .slam import CamConfig, _ray_grid, render_depth
+from .slam import CamConfig, render_depth
 
 SUN = np.array([0.3, 0.2, 0.93])
 SUN = SUN / np.linalg.norm(SUN)

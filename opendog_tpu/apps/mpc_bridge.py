@@ -111,6 +111,10 @@ class MPCBridge:
 
     def run(self, n_ticks: int, rate_hz: float = 50.0, paced: bool = True,
             sleep_fn: Callable[[float], None] = time.sleep) -> dict:
+        # fresh tracking window: metrics describe THIS run only, not
+        # bring-up/priming ticks or earlier runs
+        self._commanded.clear()
+        self._measured.clear()
         period = 1.0 / rate_hz
         lat = np.zeros(n_ticks)
         overruns = 0
@@ -206,7 +210,6 @@ def main():
 
     procs = []
     if args.spawn_firmware:
-        import os
         import subprocess
 
         fw_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -222,29 +225,37 @@ def main():
             for pp in (args.port1, args.port2)]
         time.sleep(0.3)
 
-    body = QuadPilotBody(ip1="127.0.0.1", ip2="127.0.0.1",
-                         port1=args.port1, port2=args.port2,
-                         listen_for_broadcasts=True,
-                         listen_port=args.listen_port)
-    bridge = make_bridge(body, lag=args.lag, num_samples=args.samples)
-    assert bridge.bring_up(), "bring-up failed (firmware not responding?)"
-    # prime the jit + pipeline off the clock
-    for _ in range(bridge.controller.lag + 2):
-        bridge.tick()
-        time.sleep(1.0 / args.rate_hz)
-    bridge._commanded.clear(); bridge._measured.clear()
-    m = bridge.run(args.ticks, rate_hz=args.rate_hz)
-    print(json.dumps(m))
-    if args.out:
-        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
-                    exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(m, f, indent=1)
-    body.close()
-    for pr in procs:
-        pr.terminate()
-    for pr in procs:
-        pr.wait(timeout=5)
+    body = None
+    try:
+        body = QuadPilotBody(ip1="127.0.0.1", ip2="127.0.0.1",
+                             port1=args.port1, port2=args.port2,
+                             listen_for_broadcasts=True,
+                             listen_port=args.listen_port)
+        bridge = make_bridge(body, lag=args.lag, num_samples=args.samples)
+        assert bridge.bring_up(), \
+            "bring-up failed (firmware not responding?)"
+        # prime the jit + pipeline off the clock
+        for _ in range(bridge.controller.lag + 2):
+            bridge.tick()
+            time.sleep(1.0 / args.rate_hz)
+        m = bridge.run(args.ticks, rate_hz=args.rate_hz)
+        print(json.dumps(m))
+        if args.out:
+            os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                        exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(m, f, indent=1)
+    finally:
+        # never leak the spawned firmware (they keep the UDP ports bound)
+        if body is not None:
+            body.close()
+        for pr in procs:
+            pr.terminate()
+        for pr in procs:
+            try:
+                pr.wait(timeout=5)
+            except Exception:
+                pr.kill()
 
 
 if __name__ == "__main__":

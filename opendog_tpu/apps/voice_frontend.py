@@ -231,9 +231,11 @@ def _log_mel_fixed(audio: jax.Array, n_frames: int) -> jax.Array:
 
 
 def log_mel(audio: np.ndarray, pad_s: float = SEG_PAD_S) -> np.ndarray:
-    """Fixed-shape log-mel (pads/truncates to ``pad_s`` so every call hits
-    ONE compiled program).  Returns (frames, N_MELS) numpy + the count of
-    frames covering real (unpadded) audio."""
+    """MFCC+delta features on a fixed-shape window (pads/truncates to
+    ``pad_s`` so every call hits ONE compiled program).  Returns a single
+    (live_frames, 2*N_MFCC) numpy array: per-coefficient-normalized MFCCs
+    over the frames covering real (unpadded) audio, concatenated with
+    their delta features."""
     n = int(pad_s * SR)
     a = np.zeros(n, np.float32)
     m = min(len(audio), n)

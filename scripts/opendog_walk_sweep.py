@@ -17,6 +17,7 @@ Output: per-config JSON lines + the best config; ``--out`` saves everything
 import argparse
 import itertools
 import json
+import os
 import sys
 import time
 
@@ -101,7 +102,6 @@ def main(argv=None):
         if ck not in settle_cache:
             setup0 = trot_distill_setup("opendog", engine="xla")
             m = setup0.model
-            center_ctrl = np.asarray(m.key_ctrl[0], np.float32).copy()
             idx = np.asarray(m.actuator_qposadr) - 7
             cj = np.zeros(8, np.float32)
             cj[np.array([0, 2, 4, 6])] = g["thigh_center"]
@@ -163,11 +163,17 @@ def main(argv=None):
         configs=len(combos), best=best,
         best_final_x=best["final_x"],
         projected_x_per_10s=round(per10s, 3),
-        walks_1m_in_10s=bool(ticks >= 500 and best["final_x"] >= 1.0),
+        # the milestone: an UPRIGHT config covering >= 1 m in 10 s of sim
+        # time (500 ticks at 50 Hz), normalized when --ticks differs
+        walks_1m_in_10s=bool(ok and ticks >= 500
+                             and max(r["final_x"] * (500 / ticks)
+                                     for r in ok) >= 1.0),
         results=results, device=str(jax.devices()[0]),
     )
     print(json.dumps(summary))
     if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=1)
 

@@ -23,6 +23,7 @@ exact there) — the script still runs and records that as a sanity check.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -128,6 +129,8 @@ def main():
             / results["env_ticks_per_sec_default"], 3)
     print(json.dumps(results))
     if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
 

@@ -42,3 +42,36 @@ def devices8():
     d = jax.devices()
     assert len(d) >= 8, f"expected >=8 virtual devices, got {len(d)}"
     return d[:8]
+
+
+def worker_port_offset() -> int:
+    """Unique port offset per pytest-xdist worker (gw0, gw1, ...) so
+    test-level load distribution can't collide networked-fixture ports."""
+    w = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
+    try:
+        return 20 * int(w[2:])
+    except ValueError:
+        return 0
+
+
+def build_native(src_dir: str, bin_path: str) -> bool:
+    """Build a gitignored C++ test binary at most once ACROSS xdist
+    workers.  On a fresh checkout several workers can reach their
+    firmware/camera fixtures at the same time; concurrent ``make`` runs
+    on the same object files corrupt the build, so serialize on an
+    exclusive flock and re-check under the lock.  Returns False when no
+    ``make`` is available (caller should skip)."""
+    import fcntl
+    import shutil
+    import subprocess
+
+    if os.path.exists(bin_path):
+        return True
+    if shutil.which("make") is None:
+        return False
+    with open(os.path.join(src_dir, ".build.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(bin_path):
+            subprocess.run(["make", "-C", src_dir], check=True,
+                           capture_output=True)
+    return True

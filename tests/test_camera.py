@@ -1,6 +1,5 @@
 """SDK camera client <-> C++ camera-firmware simulator (loopback HTTP)."""
 import os
-import shutil
 import subprocess
 import time
 import urllib.request
@@ -11,12 +10,9 @@ CAM_DIR = os.path.join(
     os.path.dirname(__file__), "..", "opendog_tpu", "native", "camera_sim"
 )
 BIN = os.path.join(CAM_DIR, "camera_sim")
-def _worker_offset() -> int:
-    w = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
-    try:
-        return 20 * int(w[2:])
-    except ValueError:
-        return 0
+from conftest import build_native, worker_port_offset
+
+_worker_offset = worker_port_offset
 
 
 PORT = 18181 + _worker_offset()
@@ -24,11 +20,8 @@ PORT = 18181 + _worker_offset()
 
 @pytest.fixture(scope="module")
 def camera_proc():
-    if not os.path.exists(BIN):
-        if shutil.which("make") is None:
-            pytest.skip("no make")
-        subprocess.run(["make", "-C", CAM_DIR], check=True,
-                       capture_output=True)
+    if not build_native(CAM_DIR, BIN):
+        pytest.skip("no make")
     p = subprocess.Popen([BIN, "--port", str(PORT)],
                          stdout=subprocess.DEVNULL)
     time.sleep(0.3)

@@ -6,7 +6,6 @@ processes stand in for the two ESP32s; the Python SDK drives them over the
 real UDP/JSON wire protocol.
 """
 import os
-import shutil
 import subprocess
 import time
 
@@ -18,14 +17,9 @@ FIRMWARE_DIR = os.path.join(
 BIN = os.path.join(FIRMWARE_DIR, "firmware_sim")
 
 
-def _worker_offset() -> int:
-    """Unique port offset per pytest-xdist worker (gw0, gw1, ...) so
-    test-level load distribution can't collide fixture ports."""
-    w = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
-    try:
-        return 20 * int(w[2:])
-    except ValueError:
-        return 0
+from conftest import build_native, worker_port_offset
+
+_worker_offset = worker_port_offset
 
 LISTEN = 18345 + _worker_offset()
 PORT1, PORT2 = LISTEN + 1, LISTEN + 2
@@ -33,11 +27,8 @@ PORT1, PORT2 = LISTEN + 1, LISTEN + 2
 
 @pytest.fixture(scope="module")
 def firmware_pair():
-    if not os.path.exists(BIN):
-        if shutil.which("make") is None:
-            pytest.skip("no make / firmware binary")
-        subprocess.run(["make", "-C", FIRMWARE_DIR], check=True,
-                       capture_output=True)
+    if not build_native(FIRMWARE_DIR, BIN):
+        pytest.skip("no make / firmware binary")
     procs = [
         subprocess.Popen(
             [BIN, "--port", str(p), "--telemetry-port", str(LISTEN)],
