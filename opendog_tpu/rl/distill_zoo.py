@@ -25,6 +25,13 @@ class TrotDistillSetup(NamedTuple):
     net: MLPActorCritic
     mppi_config: MPPIConfig
     z_band: tuple          # healthy trunk-height band
+    # JSON-serializable fingerprint of the effective gait/cost recipe.  A
+    # saved student.msgpack deploys as ``net(obs) + u_ref`` — it is only
+    # valid with the u_ref it was trained against, so committed artifacts
+    # carry this in metrics.json and a test pins it against the current
+    # zoo defaults (a silent default change would otherwise offset every
+    # deployed action).
+    recipe: dict = None
 
 
 def trot_distill_setup(robot: str = "go1", engine: str = "xla",
@@ -87,7 +94,17 @@ def trot_distill_setup(robot: str = "go1", engine: str = "xla",
     mcfg = MPPIConfig(horizon=25, num_samples=512, n_substeps=2,
                       rollout_dt=0.01, noise_sigma=0.10, temperature=0.2,
                       engine=engine)
-    return TrotDistillSetup(model, cost, u_ref, obs_fn, net, mcfg, z_band)
+    recipe = dict(
+        robot=robot,
+        cost_params={k: (list(v) if isinstance(v, tuple) else float(v))
+                     for k, v in pc._asdict().items()},
+        gait_center=(list(gait_center) if gait_center is not None
+                     else None),
+        noise_sigma=float(mcfg.noise_sigma),
+        horizon=int(mcfg.horizon),
+    )
+    return TrotDistillSetup(model, cost, u_ref, obs_fn, net, mcfg, z_band,
+                            recipe)
 
 
 def load_student(path: str, setup: TrotDistillSetup):

@@ -69,8 +69,10 @@ def main():
             horizon=3, num_samples=8, n_substeps=1, rollout_dt=0.01,
             engine=engine))
     if args.sigma is not None:
-        setup = setup._replace(mppi_config=setup.mppi_config._replace(
-            noise_sigma=args.sigma))
+        setup = setup._replace(
+            mppi_config=setup.mppi_config._replace(
+                noise_sigma=args.sigma),
+            recipe=dict(setup.recipe, noise_sigma=float(args.sigma)))
     m, cost, u_ref, obs_fn, net = (setup.model, setup.cost, setup.u_ref,
                                    setup.obs_fn, setup.net)
     mcfg, z_band = setup.mppi_config, setup.z_band
@@ -182,6 +184,10 @@ def main():
         walks_1m_in_10s=bool(fx.min() >= 1.0 and
                              upright_ticks == args.eval_ticks),
         wall_s=round(time.time() - t0, 1),
+        # the gait/cost recipe the student was trained against — the
+        # deployed action is net(obs) + u_ref, so the artifact is only
+        # valid with this exact u_ref (tests pin it vs the zoo defaults)
+        recipe=setup.recipe,
     )
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -149,3 +149,36 @@ def test_payload_randomized_dagger_round():
         assert dq.max() > 1e-5
     finally:
         ps.build_pallas_substep = orig
+
+
+def test_committed_student_recipe_matches_zoo_defaults():
+    """A committed student.msgpack deploys as ``net(obs) + u_ref``; if the
+    zoo's default recipe drifts from the one the artifact was trained
+    against, every deployed action is silently offset.  Pin the recipe
+    recorded in the run's metrics.json against the current defaults
+    (artifacts from before recipe recording are skipped)."""
+    import json
+    import os
+
+    import pytest
+
+    from opendog_tpu.rl.distill_zoo import trot_distill_setup
+
+    root = os.path.join(os.path.dirname(__file__), "..", "runs")
+    checked = 0
+    for robot in ("go1", "opendog"):
+        path = os.path.join(root, f"distill_{robot}", "metrics.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            rec = json.load(f).get("recipe")
+        if rec is None:
+            continue  # pre-recipe artifact
+        current = trot_distill_setup(robot).recipe
+        assert rec == current, (
+            f"runs/distill_{robot} was trained with a different recipe "
+            f"than the current zoo defaults — retrain or restore:\n"
+            f"artifact: {rec}\ncurrent:  {current}")
+        checked += 1
+    if not checked:
+        pytest.skip("no committed artifacts carry a recipe yet")
