@@ -359,6 +359,30 @@ def main():
                distance_ratio=fid["distance_ratio_plane_vs_exact"],
                cost_ratio=fid["cost_ratio_plane_vs_exact"])
 
+    # ---- config 2f: the price of pipelining lag (VERDICT r2 item 5) —
+    # bench-config trot MPC with the plant applying the solve from lag
+    # ticks ago; quantifies the lag=3 tradeoff bench.py's host loop buys ----
+    if "2f" not in args.skip:
+        import importlib.util as _ilu
+        import io
+        from contextlib import redirect_stdout
+
+        _spec = _ilu.spec_from_file_location(
+            "lag_sweep",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "lag_sweep.py"))
+        _ls = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_ls)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            _ls.main(["--ticks", "300", "--seeds", "1",
+                      "--lags", "0", "3"])
+        lag = json.loads(buf.getvalue().strip().splitlines()[-1])
+        by = {r["lag"]: r for r in lag["results"]}
+        record("2f_lag_price",
+               lag0=by.get(0), lag3=by.get(3),
+               final_x_lag3_vs_lag0=lag["final_x_lag3_vs_lag0"])
+
     # ---- config 5: one MPC->policy distillation round (mini config) ----
     if "5" not in args.skip:
         from opendog_tpu.rl.distill import DistillConfig, make_distiller
