@@ -31,32 +31,14 @@ class MPCCarry:
     ctrl_queue: jax.Array = struct.field(default=0)
 
 
-def make_mpc(
-    model,
-    step_cost: Callable,
-    config: mppi.MPPIConfig = mppi.MPPIConfig(),
-    plant_substeps: int = 10,
-    terrain: Optional[Terrain] = None,
-    mesh=None,
-    sample_axis: str = "mp",
-    ctrl_lag: int = 0,
-):
-    """Returns (init(key, physics_state) -> carry, tick(carry) -> (carry,
-    info), run(carry, n) -> (carry, traj)).  ``mesh`` shards the MPPI
-    sample axis over devices (see ``mppi.make_solver``).
+def _make_plant_step(model, config, plant_substeps, terrain):
+    """One 50 Hz plant tick (plant_substeps physics substeps).
 
-    ``ctrl_lag`` simulates the deployment pipeline ON-DEVICE: the plant
-    applies the solve from ``ctrl_lag`` ticks ago (exactly what
-    ``RealtimeController`` does over the tunnel with ``lag`` pipelining),
-    so the price of acting on an old plan is measurable in sim
-    (scripts/lag_sweep.py, VERDICT r2 item 5)."""
-    solve = mppi.make_solver(model, step_cost, config, terrain=terrain,
-                             mesh=mesh, sample_axis=sample_axis)
-
+    With the fused engine the plant integrates through the Pallas kernel
+    too: on TPU the op-graph path's default-precision MXU matmuls cost
+    ~7e-3 qvel error per substep (vs 3e-6 for the fused f32 VPU kernel),
+    and planner/plant engine mismatch makes the robot slide."""
     if config.engine == "pallas" and terrain is None:
-        # Plant integrates through the fused kernel too: on TPU the
-        # op-graph path's default-precision MXU matmuls cost ~7e-3 qvel
-        # error per substep (vs 3e-6 for the fused f32 VPU kernel).
         from ..ops.pallas_step import build_pallas_substep
 
         plant_sub = build_pallas_substep(
@@ -76,6 +58,41 @@ def make_mpc(
                                    n_substeps=plant_substeps)
             return st2
 
+    return plant_step
+
+
+def make_mpc(
+    model,
+    step_cost: Callable,
+    config: mppi.MPPIConfig = mppi.MPPIConfig(),
+    plant_substeps: int = 10,
+    terrain: Optional[Terrain] = None,
+    mesh=None,
+    sample_axis: str = "mp",
+    ctrl_lag: int = 0,
+    lag_compensation: bool = False,
+):
+    """Returns (init(key, physics_state) -> carry, tick(carry) -> (carry,
+    info), run(carry, n) -> (carry, traj)).  ``mesh`` shards the MPPI
+    sample axis over devices (see ``mppi.make_solver``).
+
+    ``ctrl_lag`` simulates the deployment pipeline ON-DEVICE: the plant
+    applies the solve from ``ctrl_lag`` ticks ago (exactly what
+    ``RealtimeController`` does over the tunnel with ``lag`` pipelining),
+    so the price of acting on an old plan is measurable in sim
+    (scripts/lag_sweep.py, VERDICT r2 item 5).
+
+    ``lag_compensation`` removes most of that price: before solving, the
+    current plant state is rolled forward through the ``ctrl_lag`` queued
+    (dispatched-but-not-yet-applied) controls, so the solve plans from the
+    predicted state AT WHICH ITS ACTION WILL ACTUALLY BE APPLIED — classic
+    delay compensation, ``ctrl_lag`` extra plant steps per solve (~lag/K
+    of one rollout's cost, negligible).  Measured recovery:
+    scripts/lag_sweep.py ``--compensate`` arm."""
+    solve = mppi.make_solver(model, step_cost, config, terrain=terrain,
+                             mesh=mesh, sample_axis=sample_axis)
+    plant_step = _make_plant_step(model, config, plant_substeps, terrain)
+
     rng = np.asarray(model.actuator_ctrlrange, np.float32)
     hold_ctrl = np.clip(np.asarray(model.key_ctrl[0], np.float32),
                         rng[:, 0], rng[:, 1])
@@ -92,7 +109,13 @@ def make_mpc(
 
     def tick(carry: MPCCarry):
         key, sub = jax.random.split(carry.key)
-        ctrl, solver_state, stats = solve(carry.plant, carry.solver, sub)
+        solve_from = carry.plant
+        if ctrl_lag > 0 and lag_compensation:
+            # predict the state this solve's action will land on: roll
+            # through the queued controls (static unroll, lag <= ~5)
+            for i in range(ctrl_lag):
+                solve_from = plant_step(solve_from, carry.ctrl_queue[i])
+        ctrl, solver_state, stats = solve(solve_from, carry.solver, sub)
         if ctrl_lag > 0:
             applied = carry.ctrl_queue[0]
             queue = jnp.concatenate([carry.ctrl_queue[1:], ctrl[None]],
