@@ -174,8 +174,13 @@ class MPCBridge:
 
 
 def make_bridge(body, lag: int = 1, num_samples: int = 256,
-                engine: Optional[str] = None, seed: int = 0) -> MPCBridge:
-    """Standard OpenDOG trot-MPC bridge (the distill-zoo recipe's cost)."""
+                engine: Optional[str] = None, seed: int = 0,
+                compensate: bool = False) -> MPCBridge:
+    """Standard OpenDOG trot-MPC bridge (the distill-zoo recipe's cost).
+
+    ``compensate``: delay-compensated solves — each plan starts from the
+    state predicted at its actual application time (RealtimeController
+    ``compensate``; recovery quantified in runs/lag_sweep)."""
     import jax
 
     from ..rl.distill_zoo import trot_distill_setup
@@ -186,7 +191,8 @@ def make_bridge(body, lag: int = 1, num_samples: int = 256,
     setup = trot_distill_setup("opendog", engine=engine)
     cfg = setup.mppi_config._replace(num_samples=num_samples)
     rtc = RealtimeController(setup.model, setup.cost, cfg, lag=lag,
-                             key=jax.random.PRNGKey(seed))
+                             key=jax.random.PRNGKey(seed),
+                             compensate=compensate)
     return MPCBridge(setup.model, rtc, body)
 
 

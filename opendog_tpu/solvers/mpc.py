@@ -124,6 +124,11 @@ def make_mpc(
             applied, queue = ctrl, carry.ctrl_queue
         plant = plant_step(carry.plant, applied)
         out = dict(ctrl=applied, qpos=plant.qpos, qvel=plant.qvel, **stats)
+        if ctrl_lag > 0 and lag_compensation:
+            # debug/verification output: the predicted application state.
+            # Deterministic plant => must equal the ACTUAL plant state
+            # ctrl_lag ticks later (pinned by tests/test_lag_compensation)
+            out["solve_from_qpos"] = solve_from.qpos
         return MPCCarry(plant=plant, solver=solver_state, key=key,
                         ctrl_queue=queue), out
 
@@ -151,12 +156,22 @@ class RealtimeController:
 
     With ``state=None`` the controller advances an internal on-device
     plant instead (benchmark mode — the bench.py host-loop metric).
+
+    ``compensate=True`` applies delay compensation in bridge mode: the
+    measured state is rolled forward on-device through the ``lag``
+    dispatched-but-not-yet-returned controls before solving, so each solve
+    plans from the predicted state its action will actually land on
+    (``make_mpc(lag_compensation=...)`` semantics; measured recovery in
+    runs/lag_sweep).  Costs ``lag`` extra plant steps per solve —
+    negligible next to ``num_samples * horizon`` rollout steps.
     """
 
     def __init__(self, model, step_cost, config: mppi.MPPIConfig,
                  terrain: Optional[Terrain] = None, lag: int = 1,
-                 plant_substeps: int = 10, key=None):
+                 plant_substeps: int = 10, key=None,
+                 compensate: bool = False):
         self.lag = max(0, int(lag))
+        self.compensate = bool(compensate) and self.lag > 0
         self.model = model
         init, tick, _ = make_mpc(model, step_cost, config,
                                  plant_substeps=plant_substeps,
@@ -177,6 +192,21 @@ class RealtimeController:
                                (ctrl, ms2))(*solve(st, ms, k)),
             donate_argnums=1,
         )
+        if self.compensate:
+            plant_step = _make_plant_step(model, config, plant_substeps,
+                                          terrain)
+
+            def comp_solve(st, queue, ms, k):
+                # roll the measured state through the in-flight controls
+                # (applied at the robot over the next `lag` ticks)
+                for i in range(self.lag):
+                    st = plant_step(st, queue[i])
+                ctrl, ms2, _stats = solve(st, ms, k)
+                queue2 = jnp.concatenate([queue[1:], ctrl[None]], axis=0)
+                return ctrl, ms2, queue2
+
+            self._jsolve_comp = jax.jit(comp_solve, donate_argnums=(1, 2))
+            self._queue_dev = None  # device-side in-flight ctrl FIFO
         self._config = config
         self._pending = deque()
         self._solver_state = None
@@ -216,7 +246,18 @@ class RealtimeController:
         st = State(qpos=jnp.asarray(qpos, jnp.float32),
                    qvel=jnp.asarray(qvel, jnp.float32),
                    time=jnp.asarray(t, jnp.float32))
-        ctrl, self._solver_state = self._jsolve(st, self._solver_state, sub)
+        if self.compensate:
+            if self._queue_dev is None:
+                # prime with what the robot is actually doing pre-pipeline:
+                # holding the keyframe stance (= _last_ctrl placeholder)
+                self._queue_dev = jnp.tile(
+                    jnp.asarray(self._last_ctrl, jnp.float32)[None],
+                    (self.lag, 1))
+            ctrl, self._solver_state, self._queue_dev = self._jsolve_comp(
+                st, self._queue_dev, self._solver_state, sub)
+        else:
+            ctrl, self._solver_state = self._jsolve(
+                st, self._solver_state, sub)
         ctrl.copy_to_host_async()
         self._pending.append(ctrl)
         if len(self._pending) > self.lag:

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--smoke", action="store_true",
                    help="tiny config for CPU plumbing tests")
+    p.add_argument("--compensate", action="store_true",
+                   help="delay compensation: solve from the state predicted "
+                        "through the queued controls "
+                        "(make_mpc(lag_compensation=True))")
     args = p.parse_args(argv)
 
     import jax
@@ -63,7 +67,8 @@ def main(argv=None):
     results = []
     for lag in args.lags:
         init, tick, run = make_mpc(model, cost, cfg, plant_substeps=10,
-                                   ctrl_lag=lag)
+                                   ctrl_lag=lag,
+                                   lag_compensation=args.compensate)
         jrun = jax.jit(lambda c, _n=args.ticks: run(c, _n))
         finals, vel_errs, costs_mean, falls = [], [], [], 0
         t_solve = None
@@ -109,6 +114,7 @@ def main(argv=None):
         "metric": "lag_sweep",
         "engine": engine,
         "device": str(jax.devices()[0]),
+        "compensated": bool(args.compensate),
         "results": results,
         "final_x_lag3_vs_lag0": (
             round(x3 / max(1e-9, base["final_x_mean"]), 3)
