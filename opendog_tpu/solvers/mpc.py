@@ -82,13 +82,17 @@ def make_mpc(
     so the price of acting on an old plan is measurable in sim
     (scripts/lag_sweep.py, VERDICT r2 item 5).
 
-    ``lag_compensation`` removes most of that price: before solving, the
+    ``lag_compensation`` removes that price: before solving, the
     current plant state is rolled forward through the ``ctrl_lag`` queued
     (dispatched-but-not-yet-applied) controls, so the solve plans from the
     predicted state AT WHICH ITS ACTION WILL ACTUALLY BE APPLIED — classic
     delay compensation, ``ctrl_lag`` extra plant steps per solve (~lag/K
-    of one rollout's cost, negligible).  Measured recovery:
-    scripts/lag_sweep.py ``--compensate`` arm."""
+    of one rollout's cost, negligible).  Measured recovery
+    (scripts/lag_sweep.py --compensate, TPU v5e, bench trot config):
+    uncompensated lag=3 loses 33% of distance and falls 1/3 of seeds
+    (final_x 4.21 -> 2.81 m); compensated lag 1/2/3/5 all match lag-0
+    (final_x 4.27-4.42 m, zero falls, vx_rmse ~= lag-0's 0.169 —
+    runs/lag_sweep/metrics_compensated.json)."""
     solve = mppi.make_solver(model, step_cost, config, terrain=terrain,
                              mesh=mesh, sample_axis=sample_axis)
     plant_step = _make_plant_step(model, config, plant_substeps, terrain)

@@ -42,7 +42,15 @@ def main():
     from opendog_tpu.solvers.ilqr import ILQRConfig
     from opendog_tpu.solvers.mpc import make_ilqr_tracker
 
+    # merge semantics: a partial run (--skip ...) updates only the configs
+    # it ran, preserving the rest of an existing record
     results = {}
+    if args.out and os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            results = {}
 
     def record(name, **kw):
         results[name] = kw
@@ -379,9 +387,22 @@ def main():
                       "--lags", "0", "3"])
         lag = json.loads(buf.getvalue().strip().splitlines()[-1])
         by = {r["lag"]: r for r in lag["results"]}
+        # compensated arm: same lag-3 pipeline, but each solve plans from
+        # the state predicted through the in-flight controls
+        # (make_mpc(lag_compensation=True)) — the recovery, measured
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            _ls.main(["--ticks", "300", "--seeds", "1",
+                      "--lags", "3", "--compensate"])
+        lagc = json.loads(buf2.getvalue().strip().splitlines()[-1])
+        lag3c = lagc["results"][0]
         record("2f_lag_price",
-               lag0=by.get(0), lag3=by.get(3),
-               final_x_lag3_vs_lag0=lag["final_x_lag3_vs_lag0"])
+               lag0=by.get(0), lag3=by.get(3), lag3_compensated=lag3c,
+               final_x_lag3_vs_lag0=lag["final_x_lag3_vs_lag0"],
+               final_x_lag3_comp_vs_lag0=round(
+                   lag3c["final_x_mean"]
+                   / max(1e-9, by[0]["final_x_mean"]), 3)
+               if 0 in by else None)
 
     # ---- config 5: one MPC->policy distillation round (mini config) ----
     if "5" not in args.skip:
