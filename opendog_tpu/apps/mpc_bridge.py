@@ -167,6 +167,8 @@ class MPCBridge:
             "joint_track_rmse_deg_delay0": round(errs.get(0, float("nan")),
                                                  3),
             "control_delay_ticks": int(self.controller.lag),
+            "compensated": bool(getattr(self.controller, "compensate",
+                                        False)),
             "twin_final_x": round(float(qpos[0]), 4),
             "twin_trunk_z": round(float(qpos[2]), 4),
             "twin_healthy": bool(0.035 < qpos[2] < 0.12),
@@ -203,6 +205,9 @@ def main():
     p.add_argument("--ticks", type=int, default=500)
     p.add_argument("--rate_hz", type=float, default=50.0)
     p.add_argument("--lag", type=int, default=3)
+    p.add_argument("--compensate", action="store_true",
+                   help="delay-compensated solves (plan from the state "
+                        "predicted through the in-flight controls)")
     p.add_argument("--samples", type=int, default=256)
     p.add_argument("--port1", type=int, default=12346)
     p.add_argument("--port2", type=int, default=12347)
@@ -237,7 +242,8 @@ def main():
                              port1=args.port1, port2=args.port2,
                              listen_for_broadcasts=True,
                              listen_port=args.listen_port)
-        bridge = make_bridge(body, lag=args.lag, num_samples=args.samples)
+        bridge = make_bridge(body, lag=args.lag, num_samples=args.samples,
+                             compensate=args.compensate)
         assert bridge.bring_up(), \
             "bring-up failed (firmware not responding?)"
         # prime the jit + pipeline off the clock

@@ -48,7 +48,9 @@ def firmware_pair():
         p.wait(timeout=5)
 
 
-def test_mpc_bridge_closed_loop(firmware_pair):
+@pytest.mark.parametrize("compensate", [False, True],
+                         ids=["plain", "compensated"])
+def test_mpc_bridge_closed_loop(firmware_pair, compensate):
     import jax
 
     from opendog_tpu.apps.mpc_bridge import MPCBridge
@@ -64,7 +66,8 @@ def test_mpc_bridge_closed_loop(firmware_pair):
     cfg = MPPIConfig(horizon=4, num_samples=16, n_substeps=1,
                      rollout_dt=0.01, noise_sigma=0.05)
     rtc = RealtimeController(m, cost, cfg, lag=1,
-                             key=jax.random.PRNGKey(0))
+                             key=jax.random.PRNGKey(0),
+                             compensate=compensate)
     body = QuadPilotBody(ip1="127.0.0.1", ip2="127.0.0.1",
                          port1=PORT1, port2=PORT2,
                          listen_for_broadcasts=True, listen_port=LISTEN)
@@ -98,6 +101,7 @@ def test_mpc_bridge_closed_loop(firmware_pair):
     # the twin (body-state estimate driven by measured angles) stays up
     assert metrics["twin_healthy"], metrics
     assert abs(metrics["twin_trunk_z"] - 0.0694) < 0.03
+    assert metrics["compensated"] is compensate
 
 
 def test_measured_angles_shape(firmware_pair):
