@@ -66,6 +66,12 @@ def main():
         # pick .params — a params-only tree (older runs) lacks opt_state
         raw = ck.restore(step=step)
         if isinstance(raw, dict) and "opt_state" in raw:
+            # structural pin: a full TrainState restore must carry params
+            # alongside opt_state — if the TrainState fields ever rename,
+            # fail loudly instead of silently evaluating the wrong tree
+            assert "params" in raw, (
+                f"checkpoint has opt_state but no params key "
+                f"(keys: {sorted(raw)}) — TrainState layout changed?")
             raw = raw["params"]
         params = raw
     if params is None:

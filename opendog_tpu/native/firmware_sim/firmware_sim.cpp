@@ -275,6 +275,13 @@ class FirmwareSim {
       std::string cmd;
       if (!get_string(msg, "command", &cmd)) continue;
       handle_command(msg, cmd);
+      if (cmd == "get_imu_data") {
+        // dmp_status response to the sender BEFORE the OK ack
+        // (handle_get_imu_data, ino:264-291)
+        std::string imu = imu_response();
+        sendto(sock_, imu.data(), imu.size(), 0,
+               reinterpret_cast<sockaddr*>(&src), slen);
+      }
       // ACK every valid command (ino:422-428)
       const char* ok = "{\"status\":\"OK\"}";
       sendto(sock_, ok, std::strlen(ok), 0,
@@ -333,7 +340,23 @@ class FirmwareSim {
       if (get_number(msg, "interval", &v) && v > 0)
         send_interval_ms_ = int(v);
     }
-    // get_imu_data: telemetry broadcast already carries dmp_data
+    // get_imu_data answered in command_loop (polled dmp_status response);
+    // the periodic telemetry broadcast carries the same dmp_data
+  }
+
+  std::string imu_response() {
+    // handle_get_imu_data schema (ino:264-291); the sim's DMP is always
+    // "ready" with an identity quaternion + the scripted yaw
+    std::lock_guard<std::mutex> lock(mu_);
+    char buf[512];
+    std::snprintf(
+        buf, sizeof(buf),
+        "{\"dmp_data\":{\"quaternion\":{\"w\":1.0,\"x\":0.0,\"y\":0.0,"
+        "\"z\":0.0},\"world_accel_mps2\":{\"ax\":0.0,\"ay\":0.0,\"az\":0.0},"
+        "\"ypr_deg\":{\"yaw\":%.2f,\"pitch\":0.0,\"roll\":0.0}},"
+        "\"dmp_status\":\"ready\"}",
+        sim_yaw_deg_);
+    return std::string(buf);
   }
 
   int port_;

@@ -246,6 +246,60 @@ class QuadPilotBody:
         cmd = {"command": "set_send_interval", "interval": max(1, interval_ms)}
         return self._parallel(dict(cmd), dict(cmd), 3, 0.5, 2.0)
 
+    def get_imu_data(self, ip_index: int, retries: int = 3,
+                     timeout_per_retry: float = 0.5) -> Optional[Dict]:
+        """Poll one endpoint's DMP state with the ``get_imu_data`` command
+        (quadpilot/body.py:225-240; firmware handler esp32_motors.ino:
+        264-291).  The firmware answers with a ``dmp_status`` packet
+        ("ready" + dmp_data, or "not_ready") followed by the usual OK ACK.
+        Returns the dmp_data dict when ready, ``None`` when not ready or
+        on timeout.  The returned data is also folded into the DMP store
+        so the passive getters see it."""
+        if self._is_closed:
+            return None
+        endpoint = self.endpoints[ip_index]
+        message = json.dumps({"command": "get_imu_data"}).encode()
+        for attempt in range(retries):
+            with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+                s.settimeout(timeout_per_retry)
+                try:
+                    s.sendto(message, endpoint)
+                    deadline = time.time() + timeout_per_retry
+                    while time.time() < deadline:
+                        try:
+                            data, addr = s.recvfrom(2048)
+                        except socket.timeout:
+                            break
+                        if addr[0] != endpoint[0]:
+                            continue
+                        try:
+                            resp = json.loads(data.decode())
+                        except json.JSONDecodeError:
+                            continue
+                        if "dmp_status" not in resp:
+                            continue  # OK ACK / stray broadcast
+                        if resp["dmp_status"] != "ready":
+                            return None
+                        d = resp.get("dmp_data", {})
+                        with self._lock:
+                            self._motor[endpoint]["dmp_ready"] = True
+                            dst = self._dmp[endpoint]
+                            for k in ("quaternion", "ypr_deg"):
+                                if k in d:
+                                    dst[k] = d[k]
+                            # the firmware handler historically sent either
+                            # key name (quadpilot/body.py:158-161)
+                            if "world_accel_mps2" in d:
+                                dst["world_accel_mps2"] = d["world_accel_mps2"]
+                            elif "world_accel" in d:
+                                dst["world_accel_mps2"] = d["world_accel"]
+                        return d
+                except OSError:
+                    pass
+            if attempt + 1 < retries:
+                time.sleep(0.05)
+        return None
+
     # ---------------- getters (body.py:197-259) ------------------------
     def get_latest_motor_data_for_esp(self, ip_index: int):
         ep = self.endpoints[ip_index]
@@ -258,6 +312,16 @@ class QuadPilotBody:
             if self._received[ep]:
                 return {k: dict(v) for k, v in self._dmp[ep].items()}
         return _default_dmp()
+
+    def get_latest_imu_data_for_esp(self, ip_index: int) -> Dict:
+        """DEPRECATED legacy getter (quadpilot/body.py:227-242): prefer
+        ``get_latest_dmp_data_for_esp``.  Returns the broadcast DMP data
+        when the endpoint reports dmp_ready, else an empty dict."""
+        ep = self.endpoints[ip_index]
+        with self._lock:
+            if self._received[ep] and self._motor[ep].get("dmp_ready"):
+                return {k: dict(v) for k, v in self._dmp[ep].items()}
+        return {}
 
     def is_dmp_ready_for_esp(self, ip_index: int) -> bool:
         ep = self.endpoints[ip_index]

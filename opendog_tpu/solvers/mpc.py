@@ -161,13 +161,16 @@ class RealtimeController:
     With ``state=None`` the controller advances an internal on-device
     plant instead (benchmark mode — the bench.py host-loop metric).
 
-    ``compensate=True`` applies delay compensation in bridge mode: the
-    measured state is rolled forward on-device through the ``lag``
-    dispatched-but-not-yet-returned controls before solving, so each solve
+    ``compensate=True`` applies delay compensation: the (measured or
+    internal) state is rolled forward on-device through the ``lag``
+    dispatched-but-not-yet-applied controls before solving, so each solve
     plans from the predicted state its action will actually land on
     (``make_mpc(lag_compensation=...)`` semantics; measured recovery in
-    runs/lag_sweep).  Costs ``lag`` extra plant steps per solve —
-    negligible next to ``num_samples * horizon`` rollout steps.
+    runs/lag_sweep).  In benchmark mode this also makes the internal plant
+    apply the solve from ``lag`` ticks ago (full pipeline emulation) —
+    without it the internal plant applies the fresh solve.  Costs ``lag``
+    extra plant steps per solve — negligible next to ``num_samples *
+    horizon`` rollout steps.
     """
 
     def __init__(self, model, step_cost, config: mppi.MPPIConfig,
@@ -177,9 +180,16 @@ class RealtimeController:
         self.lag = max(0, int(lag))
         self.compensate = bool(compensate) and self.lag > 0
         self.model = model
+        # Benchmark mode honours ``compensate`` too: the internal plant then
+        # applies the solve from ``lag`` ticks ago and each solve plans from
+        # the predicted application state (full deployment-pipeline
+        # emulation).  Without compensate the internal plant applies the
+        # fresh solve (pure solver-throughput mode, bench.py's metric).
         init, tick, _ = make_mpc(model, step_cost, config,
                                  plant_substeps=plant_substeps,
-                                 terrain=terrain)
+                                 terrain=terrain,
+                                 ctrl_lag=self.lag if self.compensate else 0,
+                                 lag_compensation=self.compensate)
         self._carry = None  # set by start()
         self._init = init
         # host-loop tick returns only (carry, ctrl): everything else is
@@ -223,7 +233,12 @@ class RealtimeController:
 
     # -------- benchmark mode (internal on-device plant) ----------------
     def start(self, physics_state: State):
-        self._carry = self._init(self._key, physics_state)
+        # split rather than hand self._key to the carry: the carry is
+        # DONATED every tick, which deletes its input buffers — an aliased
+        # self._key would be dead after the first tick (and bridge_tick
+        # would then crash on a deleted array)
+        self._key, sub = jax.random.split(self._key)
+        self._carry = self._init(sub, physics_state)
 
     def tick(self) -> np.ndarray:
         """One pipelined control tick; returns ctrl(t-lag) as numpy."""
@@ -238,6 +253,11 @@ class RealtimeController:
         """Flush the pipeline (e.g. at shutdown)."""
         while self._pending:
             self._last_ctrl = np.asarray(self._pending.popleft())
+        if self.compensate:
+            # the in-flight FIFO no longer matches what the robot applies
+            # after a drain; the next bridge_tick re-primes it with the
+            # hold control
+            self._queue_dev = None
         return self._last_ctrl
 
     # -------- bridge mode (external plant: the real robot) -------------

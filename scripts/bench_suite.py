@@ -52,8 +52,15 @@ def main():
         except (json.JSONDecodeError, OSError):
             results = {}
 
+    # per-entry provenance so a merged record (partial --skip runs) can't
+    # silently mix configs from different runs/devices without saying so
+    run_stamp = dict(
+        recorded_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        device=str(jax.devices()[0]),
+    )
+
     def record(name, **kw):
-        results[name] = kw
+        results[name] = {**kw, "_provenance": run_stamp}
         print(json.dumps({"config": name, **kw}), flush=True)
 
     # ---- config 1: standing-balance hold, single env ----

@@ -1,6 +1,12 @@
+import os
+import shutil
+
 import numpy as np
+import pytest
 
 from opendog_tpu.assets import load_go1, load_opendog
+
+REFERENCE = "/root/reference/Code/mujoco"
 
 
 def test_opendog_sizes_and_addressing():
@@ -59,6 +65,35 @@ def test_go1_scene_boxes():
     np.testing.assert_allclose(np.asarray(j.wbox_pos), [[1.0, 0, 0.09]])
     lnd = load_go1("landing")
     np.testing.assert_allclose(np.asarray(lnd.wbox_size), [[0.4, 0.4, 0.2]])
+
+
+def test_robotold_ingestion(tmp_path):
+    """The legacy sim2real/robotold.xml loads through the MJCF pipeline
+    (VERDICT r3 'cheapest remaining row').  The file's meshdir points at a
+    sim2real/assets dir absent from the snapshot; its meshes live under
+    our_robot/assets, so the test stages them there."""
+    src = os.path.join(REFERENCE, "sim2real", "robotold.xml")
+    mesh_src = os.path.join(REFERENCE, "our_robot", "assets")
+    if not os.path.exists(src):
+        pytest.skip("reference snapshot not mounted")
+    from opendog_tpu.physics.mjcf import load_model
+
+    shutil.copy(src, tmp_path / "robotold.xml")
+    os.symlink(mesh_src, tmp_path / "assets")
+    m = load_model(str(tmp_path / "robotold.xml"))
+    # same topology as our_robot.xml: free trunk + 4 x (thigh, knee)
+    assert (m.nq, m.nv, m.nu) == (15, 14, 8)
+    # trunk 1.157 + 4 legs x (0.01377 + 0.01036 + 0.100 paw)
+    total = float(np.sum(np.asarray(m.body_mass)))
+    assert abs(total - (1.157 + 4 * 0.12413)) < 1e-5
+    # home keyframe (robotold.xml:109-113); its all-zero quaternion is
+    # normalised to identity at load (MuJoCo does the same)
+    qpos = np.asarray(m.key_qpos[m.key_id("home")])
+    np.testing.assert_allclose(
+        qpos[:7], [0, 0, 1.0, 1, 0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        qpos[7:], [2.94, -2.2, 2.62, -1.81, 2.92, -2.2, 2.62, -1.88],
+        atol=1e-6)
 
 
 def test_terrain_scene_hfield():

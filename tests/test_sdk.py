@@ -110,6 +110,25 @@ def test_servo_loop_tracks_angle_target(body):
     assert data2["targetPos"][2] == int(-45 * 1975 / 360)
 
 
+def test_get_imu_data_poll(body):
+    """The polled get_imu_data path (quadpilot/body.py:225-240; firmware
+    handler esp32_motors.ino:264-291): the firmware answers with a
+    dmp_status packet, the SDK returns the dmp_data and folds it into the
+    DMP store so the legacy getter sees it too."""
+    d = body.get_imu_data(0)
+    assert d is not None
+    assert d["quaternion"]["w"] == 1.0
+    assert set(d["ypr_deg"]) == {"yaw", "pitch", "roll"}
+    # legacy deprecated getter (quadpilot/body.py:227-242) now has data
+    deadline = time.time() + 3.0
+    while time.time() < deadline:
+        legacy = body.get_latest_imu_data_for_esp(0)
+        if legacy:
+            break
+        time.sleep(0.05)
+    assert legacy["quaternion"]["w"] == 1.0
+
+
 def test_disabled_motor_does_not_move(body):
     assert body.reset_all()
     assert body.set_all_control_status(False)
