@@ -65,6 +65,7 @@ def make_distiller(
     action_ref_fn: Callable = None,  # (time,) -> (nu,) feed-forward ref
     with_prev_ctrl: bool = False,
     payload_range: tuple = None,  # (lo, hi) kg -> payload-randomized DAgger
+    command_dim: int = 0,  # >0 -> command-conditioned DAgger
 ):
     """Returns (init, round_fn, eval_fn).
 
@@ -97,6 +98,19 @@ def make_distiller(
     ``collect`` / ``eval_fn`` then take a trailing ``payloads (S,)``
     argument.
 
+    ``command_dim > 0`` runs COMMAND-CONDITIONED DAgger (BASELINE config 5
+    "velocity-command curriculum"): each scenario carries a command vector
+    (e.g. ``(vx, vy, yaw_target)`` for ``costs.trot_cost_cmd``); the
+    EXPERT plans for its scenario's command
+    (``make_solver(with_command=True)``) and the STUDENT observes it
+    (appended to the observation), so one student learns the whole command
+    family — the MPC analog of the reference's per-reset randomized
+    desired velocity (environments/WalkEnvironment.py:138-151).
+    ``round_fn`` / ``collect`` / ``eval_fn`` then take a trailing
+    ``commands (S, command_dim)`` argument (after ``payloads`` if both are
+    enabled); the widening curriculum over command ranges lives in the
+    driver (scripts/distill_cmd.py).
+
     ``with_prev_ctrl`` appends the previously APPLIED ctrl to the
     observation (the reference envs' last-action term,
     WalkEnvironment.py:115-136).  This matters for imitating a
@@ -105,11 +119,13 @@ def make_distiller(
     proxy for the hidden plan state — without it the conditional label
     distribution is wide and the regressed mean washes the gait out."""
     use_payload = payload_range is not None
+    use_command = command_dim > 0
     if use_payload:
         assert mppi_config.engine == "pallas", \
             "payload randomization rides the fused kernel's payload lanes"
     solve = mppi.make_solver(model, step_cost, mppi_config,
-                             with_payload=use_payload)
+                             with_payload=use_payload,
+                             with_command=use_command)
     tx = optax.adam(config.lr)
     S = config.num_scenarios
     lo, hi = jnp.asarray(model.actuator_ctrlrange).T
@@ -143,9 +159,21 @@ def make_distiller(
             )(plants, ctrl)
             return plants2
 
-    def _ref(t):
+    # action_ref_fn may be (t) -> u_ref or, for command-conditioned
+    # distillation, (t, cmd) -> u_ref (the command-scaled gait reference,
+    # costs.trot_gait_ref_cmd) — detected by arity
+    import inspect
+
+    ref_takes_cmd = (action_ref_fn is not None and
+                     len(inspect.signature(action_ref_fn).parameters) >= 2)
+    if ref_takes_cmd:
+        assert use_command, "command-scaled u_ref needs command_dim > 0"
+
+    def _ref(t, cmd):
         if action_ref_fn is None:
             return jnp.zeros((model.nu,))
+        if ref_takes_cmd:
+            return action_ref_fn(t, cmd)
         return action_ref_fn(t)
 
     home_ctrl = jnp.asarray(np.clip(
@@ -153,45 +181,61 @@ def make_distiller(
         np.asarray(model.actuator_ctrlrange)[:, 0],
         np.asarray(model.actuator_ctrlrange)[:, 1]))
 
-    def full_obs(qpos, qvel, t, prev_ctrl):
+    def full_obs(qpos, qvel, t, prev_ctrl, cmd):
         o = obs_fn(qpos, qvel, t)
         if with_prev_ctrl:
             o = jnp.concatenate([o, prev_ctrl - home_ctrl])
+        if use_command:
+            o = jnp.concatenate([o, cmd])
         return o
 
-    def student_act(params, obs, t):
+    def _cmds(commands):
+        """Per-scenario command rows for vmapped call sites (zero-width
+        when the distiller is not command-conditioned)."""
+        if use_command:
+            assert commands is not None, "distiller built with command_dim"
+            return jnp.asarray(commands, jnp.float32)
+        return jnp.zeros((S, 0), jnp.float32)
+
+    def student_act(params, obs, t, cmds):
         out = network.apply(params, obs)
         pred = out[0] if isinstance(out, tuple) else out
-        return jnp.clip(pred + jax.vmap(_ref)(t), lo, hi)
+        return jnp.clip(pred + jax.vmap(_ref)(t, cmds), lo, hi)
 
     def init(key, example_state: State):
         k1, k2 = jax.random.split(key)
         obs = full_obs(example_state.qpos, example_state.qvel,
-                       example_state.time, home_ctrl)
+                       example_state.time, home_ctrl,
+                       jnp.zeros(command_dim))
         params = network.init(k1, obs[None])
         return DistillState(params=params, opt_state=tx.init(params), key=k2)
 
-    def _expert(plants, mstates, keys, payloads):
+    def _expert(plants, mstates, keys, payloads, commands):
+        aux = ()
         if use_payload:
-            return jax.vmap(solve)(plants, mstates, keys, payloads)
-        return jax.vmap(solve)(plants, mstates, keys)
+            aux += (payloads,)
+        if use_command:
+            aux += (jnp.asarray(commands, jnp.float32),)
+        return jax.vmap(solve)(plants, mstates, keys, *aux)
 
     def collect(dstate: DistillState, plants: State, mppi_states, beta,
-                payloads=None):
+                payloads=None, commands=None):
         """Scan expert-labeled rollouts across all scenarios."""
+        cmds = _cmds(commands)
 
         def tick(carry, _):
             plants, mstates, key, prev = carry
             key, k1, k2 = jax.random.split(key, 3)
             expert_ctrl, mstates, _ = _expert(
-                plants, mstates, jax.random.split(k1, S), payloads
+                plants, mstates, jax.random.split(k1, S), payloads, commands
             )
             obs = jax.vmap(full_obs)(plants.qpos, plants.qvel,
-                                     plants.time, prev)
-            student_ctrl = student_act(dstate.params, obs, plants.time)
+                                     plants.time, prev, cmds)
+            student_ctrl = student_act(dstate.params, obs, plants.time,
+                                       cmds)
             drive_expert = jax.random.bernoulli(k2, beta, (S, 1))
             ctrl = jnp.where(drive_expert, expert_ctrl, student_ctrl)
-            label = expert_ctrl - jax.vmap(_ref)(plants.time)
+            label = expert_ctrl - jax.vmap(_ref)(plants.time, cmds)
             plants = plant_step(plants, ctrl, payloads)
             return (plants, mstates, key, ctrl), \
                 (obs, label, student_ctrl, plants.qpos)
@@ -206,7 +250,8 @@ def make_distiller(
             labels.reshape(-1, labels.shape[-1])
 
     def eval_fn(dstate: DistillState, plants: State, ticks: int,
-                payloads=None):
+                payloads=None, commands=None):
+        cmds = _cmds(commands)
         mppi_states = jax.vmap(
             lambda _: mppi.init_state(model, mppi_config))(jnp.arange(S))
 
@@ -214,11 +259,12 @@ def make_distiller(
             plants, mstates, key, prev = carry
             key, k1 = jax.random.split(key)
             expert_ctrl, mstates, _ = _expert(
-                plants, mstates, jax.random.split(k1, S), payloads
+                plants, mstates, jax.random.split(k1, S), payloads, commands
             )
             obs = jax.vmap(full_obs)(plants.qpos, plants.qvel,
-                                     plants.time, prev)
-            ctrl = student_act(dstate.params, obs, plants.time)  # STUDENT
+                                     plants.time, prev, cmds)
+            ctrl = student_act(dstate.params, obs, plants.time,
+                               cmds)  # STUDENT
             plants = plant_step(plants, ctrl, payloads)
             err2 = jnp.mean(jnp.square(ctrl - expert_ctrl))
             return (plants, mstates, key, ctrl), (plants.qpos, ctrl, err2)
@@ -268,13 +314,13 @@ def make_distiller(
         return dstate.replace(params=params, opt_state=opt_state), losses[-1]
 
     def round_fn(dstate: DistillState, plants: State, round_idx: int,
-                 payloads=None):
+                 payloads=None, commands=None):
         beta = config.beta_decay ** round_idx
         mppi_states = jax.vmap(lambda _: mppi.init_state(model, mppi_config))(
             jnp.arange(S)
         )
         plants, _, key, obs, labels = collect(
-            dstate, plants, mppi_states, beta, payloads
+            dstate, plants, mppi_states, beta, payloads, commands
         )
         key, sub = jax.random.split(key)
         dstate, loss = train_on(dstate.replace(key=key), obs, labels, sub)

@@ -107,10 +107,44 @@ def trot_distill_setup(robot: str = "go1", engine: str = "xla",
                             recipe)
 
 
-def load_student(path: str, setup: TrotDistillSetup):
-    """Restore student params saved by scripts/distill_walk.py and return
-    ``policy(qpos, qvel, t, prev_ctrl) -> ctrl`` (the deployed action:
-    clip(net(obs ++ (prev-home)) + u_ref(t)))."""
+def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
+                      ) -> TrotDistillSetup:
+    """Command-conditioned variant of :func:`trot_distill_setup` (BASELINE
+    config 5, "velocity-command curriculum"): the cost is
+    ``costs.trot_cost_cmd`` — ``step_cost(state, ctrl, prev, (vx, vy,
+    yaw_target))`` — and the student observes the command (appended by
+    ``make_distiller(command_dim=3)``).  The gait reference stays the
+    nominal-speed trot; the network modulates around it per command
+    (at cmd=0 the expert holds a stand and the residual cancels the
+    marching reference — learnable because the command is observed).
+
+    Mirrors the reference's per-reset randomized desired velocity
+    (environments/WalkEnvironment.py:138-151) recast for the MPC expert."""
+    base = trot_distill_setup(robot, engine=engine)
+    if robot == "go1":
+        pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                  target_height=0.265)
+        home_j = np.asarray(base.model.key_qpos[0])[7:]
+    else:
+        raise ValueError("command-conditioned zoo setup wired for go1")
+    cost = costs.trot_cost_cmd(base.model, pc, home_j, legs=robot)
+    # command-SCALED gait reference: the student's residual stays small
+    # across the command family (a fixed nominal-speed u_ref forces huge
+    # residuals at off-nominal commands — measured to regress to a
+    # stand-still student)
+    u_ref = costs.trot_gait_ref_cmd(base.model, pc, home_j, legs=robot)
+    recipe = dict(base.recipe, command_conditioned=True,
+                  command=["vx", "vy", "yaw_target"],
+                  u_ref="trot_gait_ref_cmd")
+    return base._replace(cost=cost, u_ref=u_ref, recipe=recipe)
+
+
+def load_student(path: str, setup: TrotDistillSetup, command_dim: int = 0):
+    """Restore student params saved by scripts/distill_walk.py (or the
+    command-curriculum scripts/distill_cmd.py when ``command_dim > 0``)
+    and return the deployed policy:
+    ``policy(qpos, qvel, t, prev_ctrl[, cmd]) -> ctrl`` =
+    clip(net(obs ++ (prev-home) [++ cmd]) + u_ref(t))."""
     from flax import serialization
 
     m = setup.model
@@ -118,16 +152,24 @@ def load_student(path: str, setup: TrotDistillSetup):
     home_ctrl = np.clip(np.asarray(m.key_ctrl[0], np.float32), lo, hi)
     example = setup.obs_fn(jnp.asarray(m.key_qpos[0]),
                            jnp.zeros(m.nv), jnp.float32(0.0))
-    example = jnp.concatenate([example, jnp.zeros(m.nu)])
+    example = jnp.concatenate([example, jnp.zeros(m.nu + command_dim)])
     template = setup.net.init(jax.random.PRNGKey(0), example[None])
     with open(path, "rb") as f:
         params = serialization.from_bytes(jax.device_get(template),
                                           f.read())
 
-    def policy(qpos, qvel, t, prev_ctrl):
+    import inspect
+
+    ref_takes_cmd = len(inspect.signature(setup.u_ref).parameters) >= 2
+
+    def policy(qpos, qvel, t, prev_ctrl, cmd=None):
         obs = setup.obs_fn(qpos, qvel, t)
         obs = jnp.concatenate([obs, prev_ctrl - home_ctrl])
+        if command_dim:
+            obs = jnp.concatenate([obs, jnp.asarray(cmd, jnp.float32)])
         mean, _, _ = setup.net.apply(params, obs[None])
-        return jnp.clip(mean[0] + setup.u_ref(t), lo, hi)
+        u_ref = (setup.u_ref(t, jnp.asarray(cmd, jnp.float32))
+                 if ref_takes_cmd else setup.u_ref(t))
+        return jnp.clip(mean[0] + u_ref, lo, hi)
 
     return policy

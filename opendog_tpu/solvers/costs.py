@@ -148,6 +148,264 @@ def trot_cost(model, params: TrotCostParams, home_joint_qpos,
     return step_cost
 
 
+def trot_cost_cmd(model, params: TrotCostParams, home_joint_qpos,
+                  legs: str = "go1"):
+    """Command-conditioned :func:`trot_cost`: returns
+    ``step_cost(state, ctrl, prev_ctrl, cmd)`` with ``cmd = (vx, vy,
+    yaw_target)`` replacing the params' fixed ``desired_vel_xy`` /
+    ``desired_yaw`` at runtime.  Built for command-randomized MPC experts
+    (``mppi.make_solver(with_command=True)``) — the MPC analog of the
+    reference's per-reset randomized desired velocity
+    (environments/WalkEnvironment.py:138-151).
+
+    The gait-shaping term scales with commanded speed: at ``cmd = 0`` the
+    thigh swing amplitude collapses (stand, don't march) while the knee
+    rhythm fades with it."""
+    home_j = jnp.asarray(home_joint_qpos, jnp.float32)
+    if legs == "go1":
+        thigh_idx = np.array([1, 4, 7, 10])
+        knee_idx = np.array([2, 5, 8, 11])
+        diag_sign = np.array([1.0, -1.0, -1.0, 1.0])
+        knee_dir = -1.0
+        thigh_dir = -params.thigh_phase
+    else:
+        thigh_idx = np.array([0, 2, 4, 6])
+        knee_idx = np.array([1, 3, 5, 7])
+        diag_sign = np.array([-1.0, 1.0, 1.0, -1.0])
+        knee_dir = -1.0
+        thigh_dir = params.thigh_phase
+    sign = jnp.asarray(diag_sign)
+    v_nom = max(1e-6, float(np.hypot(*params.desired_vel_xy)))
+
+    def step_cost(state: State, ctrl, prev_ctrl, cmd):
+        qpos, qvel = state.qpos, state.qvel
+        roll, pitch, yaw = spatial.euler_from_quat(qpos[3:7])
+        # gait amplitude scales with commanded speed (0 -> stand)
+        speed = jnp.sqrt(jnp.sum(jnp.square(cmd[:2])) + 1e-12)
+        scale = jnp.clip(speed / v_nom, 0.0, 1.5)
+        phase = 2.0 * jnp.pi * state.time / params.period_s
+        s = jnp.sin(phase)
+        swing = jnp.where(sign > 0, jnp.maximum(s, 0.0),
+                          jnp.maximum(-s, 0.0))
+        thigh_ref = home_j[thigh_idx] + thigh_dir * params.thigh_amp \
+            * scale * sign * s
+        knee_ref = home_j[knee_idx] \
+            + knee_dir * params.knee_lift * scale * swing
+        joints = qpos[7:]
+        c_gait = params.w_gait * (
+            jnp.sum(jnp.square(joints[thigh_idx] - thigh_ref))
+            + jnp.sum(jnp.square(joints[knee_idx] - knee_ref))
+        )
+        c_vel = params.w_vel * jnp.sum(jnp.square(qvel[:2] - cmd[:2]))
+        c_h = params.w_height * jnp.square(qpos[2] - params.target_height)
+        c_up = params.w_upright * (jnp.square(roll) + jnp.square(pitch))
+        c_lat = params.w_lateral * jnp.square(qvel[1] - cmd[1])
+        c_yawr = params.w_yaw_rate * jnp.square(qvel[5])
+        dyaw = jnp.arctan2(jnp.sin(yaw - cmd[2]), jnp.cos(yaw - cmd[2]))
+        c_head = params.w_heading * jnp.square(dyaw)
+        c_rate = params.w_ctrl_rate * jnp.sum(jnp.square(ctrl - prev_ctrl))
+        return (c_gait + c_vel + c_h + c_up + c_lat + c_yawr + c_head
+                + c_rate)
+
+    return step_cost
+
+
+def trot_gait_ref_cmd(model, params: TrotCostParams, home_joint_qpos,
+                      legs: str = "go1"):
+    """Command-scaled :func:`trot_gait_ref`: ``u_ref(t, cmd)`` with the
+    swing amplitude scaled by commanded speed exactly as
+    :func:`trot_cost_cmd` scales its gait term (cmd = 0 -> the home stand).
+    Used as the residual base for command-conditioned distillation so the
+    student's regression target stays small across the whole command
+    family."""
+    home_j = jnp.asarray(home_joint_qpos, jnp.float32)
+    if legs == "go1":
+        thigh_idx = np.array([1, 4, 7, 10])
+        knee_idx = np.array([2, 5, 8, 11])
+        diag_sign = np.array([1.0, -1.0, -1.0, 1.0])
+        knee_dir = -1.0
+        thigh_dir = -params.thigh_phase
+    else:
+        thigh_idx = np.array([0, 2, 4, 6])
+        knee_idx = np.array([1, 3, 5, 7])
+        diag_sign = np.array([-1.0, 1.0, 1.0, -1.0])
+        knee_dir = -1.0
+        thigh_dir = params.thigh_phase
+    qadr = np.asarray(model.actuator_qposadr) - 7
+    sign = jnp.asarray(diag_sign)
+    v_nom = max(1e-6, float(np.hypot(*params.desired_vel_xy)))
+
+    def u_ref(t, cmd):
+        speed = jnp.sqrt(jnp.sum(jnp.square(cmd[:2])) + 1e-12)
+        scale = jnp.clip(speed / v_nom, 0.0, 1.5)
+        phase = 2.0 * jnp.pi * t / params.period_s
+        s = jnp.sin(phase)
+        swing = jnp.where(sign > 0, jnp.maximum(s, 0.0),
+                          jnp.maximum(-s, 0.0))
+        joints_ref = home_j
+        joints_ref = joints_ref.at[thigh_idx].set(
+            home_j[thigh_idx]
+            + thigh_dir * params.thigh_amp * scale * sign * s)
+        joints_ref = joints_ref.at[knee_idx].set(
+            home_j[knee_idx] + knee_dir * params.knee_lift * scale * swing)
+        return joints_ref[qadr]
+
+    return u_ref
+
+
+class ContactSchedule(NamedTuple):
+    """Explicit per-leg stance/swing plan — the contact-sequencing input of
+    the whole-body iLQR (BASELINE config 3, "iLQR MPC with contact
+    schedule").  The schedule is a table of time slots; costs built from it
+    are phase-indexed via ``state.time``, which iLQR threads through the
+    horizon (solvers/ilqr.py stage times), so one solve optimises through
+    the full stance/swing sequence.
+
+    ``stance``: (n_slots, nlegs) rows of 0/1 — 1 = leg planned in stance
+    during that slot.  Leg order follows the model's qpos leg order
+    (go1: FR, FL, RR, RL; opendog: FL, FR, BL, BR).
+    ``thigh_offset``: optional (n_slots, nlegs) thigh targets [rad,
+    "forward" units] AT THE START of each slot; references interpolate
+    linearly to the next slot's value (triangle-wave gait trajectories).
+    ``cyclic``: wrap for gaits; clamp at the last slot for terminal
+    sequences (landing: flight -> front touch-down -> all-stance, matching
+    the reference's phase semantics,
+    rewards/landing_environment_reward_calc.py:107-135).
+    """
+
+    stance: tuple
+    slot_dt: float
+    cyclic: bool = True
+    thigh_offset: tuple = None
+
+
+def trot_schedule(params: TrotCostParams, legs: str = "go1"
+                  ) -> ContactSchedule:
+    """Two-slot alternating-diagonal trot: pair A (FR+RL / FR+BL) in stance
+    while pair B swings, then swap.  Thigh offsets give each leg a
+    triangle-wave fore-aft swing of amplitude ``thigh_amp`` (forward during
+    swing, back during stance — the propulsive stroke)."""
+    if legs == "go1":
+        diag_sign = np.array([1.0, -1.0, -1.0, 1.0])  # FR, FL, RR, RL
+    else:
+        diag_sign = np.array([-1.0, 1.0, 1.0, -1.0])  # FL, FR, BL, BR
+    a_swing = (diag_sign > 0).astype(np.float32)
+    stance = np.stack([1.0 - a_swing, a_swing])  # slot0: A swings
+    # start of slot0: swing legs at -amp (about to sweep forward),
+    # start of slot1: they reached +amp and push back during stance
+    amp = params.thigh_amp
+    off = np.stack([-amp * diag_sign, amp * diag_sign]).astype(np.float32)
+    return ContactSchedule(
+        stance=tuple(map(tuple, stance)),
+        slot_dt=params.period_s / 2.0,
+        cyclic=True,
+        thigh_offset=tuple(map(tuple, off)),
+    )
+
+
+def landing_schedule(slot_dt: float = 0.2) -> ContactSchedule:
+    """Front-then-back landing sequence for the Go1 ``descent`` drop
+    (reference phases: flight with legs ready -> front feet touch ->
+    weight onto all four, landing_environment_reward_calc.py:107-135).
+    Leg order FR, FL, RR, RL."""
+    stance = ((0.0, 0.0, 0.0, 0.0),   # flight: all legs swing (tucked)
+              (1.0, 1.0, 0.0, 0.0),   # front touch-down
+              (1.0, 1.0, 1.0, 1.0))   # all-stance
+    return ContactSchedule(stance=stance, slot_dt=slot_dt, cyclic=False)
+
+
+def contact_schedule_cost(model, sched: ContactSchedule,
+                          params: TrotCostParams, home_joint_qpos,
+                          legs: str = "go1", w_stance_vel: float = 0.05):
+    """Cost shaped by an explicit :class:`ContactSchedule`.
+
+    Per-leg, per-time references from the schedule (linearly interpolated
+    between slots): swing legs flex the knee by ``knee_lift`` and follow
+    the slot thigh offsets; stance legs extend to home and are damped
+    (``w_stance_vel`` on their joint velocities — a smooth stand-in for
+    the complementarity condition "stance foot does not move").  Trunk
+    terms (velocity/height/upright/heading) reuse ``TrotCostParams``.
+    """
+    home_j = jnp.asarray(home_joint_qpos, jnp.float32)
+    desired = jnp.asarray(params.desired_vel_xy, jnp.float32)
+    if legs == "go1":
+        thigh_idx = np.array([1, 4, 7, 10])
+        knee_idx = np.array([2, 5, 8, 11])
+        knee_dir = -1.0
+        thigh_dir = -params.thigh_phase
+    else:
+        thigh_idx = np.array([0, 2, 4, 6])
+        knee_idx = np.array([1, 3, 5, 7])
+        knee_dir = -1.0
+        thigh_dir = params.thigh_phase
+    stance_tab = jnp.asarray(sched.stance, jnp.float32)
+    n_slots = stance_tab.shape[0]
+    off_tab = (jnp.asarray(sched.thigh_offset, jnp.float32)
+               if sched.thigh_offset is not None
+               else jnp.zeros_like(stance_tab))
+    # dof index of each scheduled joint (free joint -> qvel[6:])
+    thigh_dof = thigh_idx + 6
+    knee_dof = knee_idx + 6
+
+    def _interp(table, pos):
+        """Linear interpolation of table rows at fractional slot position
+        ``pos`` (row k anchored at pos == k)."""
+        if sched.cyclic:
+            pos = jnp.mod(pos, n_slots)
+            i0 = jnp.floor(pos).astype(jnp.int32) % n_slots
+            i1 = (i0 + 1) % n_slots
+            frac = pos - jnp.floor(pos)
+        else:
+            pos = jnp.clip(pos, 0.0, float(n_slots - 1))
+            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_slots - 1)
+            i1 = jnp.minimum(i0 + 1, n_slots - 1)
+            frac = pos - jnp.floor(pos)
+        return (1 - frac) * table[i0] + frac * table[i1]
+
+    def refs(t):
+        pos = t / sched.slot_dt
+        # stance flags anchor at slot CENTERS: the schedule holds crisply
+        # mid-slot and blends smoothly across slot boundaries (start-
+        # anchored interpolation would wash stance to 0.5 exactly when the
+        # leg is most definitely planted)
+        stance_t = _interp(stance_tab, pos - 0.5)
+        # thigh offsets are slot-START waypoints (triangle-wave gait:
+        # swing leg travels -amp -> +amp across its swing slot)
+        off_t = _interp(off_tab, pos)
+        return stance_t, off_t
+
+    def step_cost(state: State, ctrl, prev_ctrl):
+        qpos, qvel = state.qpos, state.qvel
+        roll, pitch, yaw = spatial.euler_from_quat(qpos[3:7])
+        stance_t, off_t = refs(state.time)
+        swing_t = 1.0 - stance_t
+        joints = qpos[7:]
+        thigh_ref = home_j[thigh_idx] + thigh_dir * off_t
+        knee_ref = home_j[knee_idx] + knee_dir * params.knee_lift * swing_t
+        c_gait = params.w_gait * (
+            jnp.sum(jnp.square(joints[thigh_idx] - thigh_ref))
+            + jnp.sum(jnp.square(joints[knee_idx] - knee_ref))
+        )
+        # stance legs should be quiet: scheduled-complementarity penalty
+        c_stance = w_stance_vel * jnp.sum(
+            stance_t * (jnp.square(qvel[thigh_dof])
+                        + jnp.square(qvel[knee_dof]))
+        )
+        c_vel = params.w_vel * jnp.sum(jnp.square(qvel[:2] - desired))
+        c_h = params.w_height * jnp.square(qpos[2] - params.target_height)
+        c_up = params.w_upright * (jnp.square(roll) + jnp.square(pitch))
+        c_lat = params.w_lateral * jnp.square(qvel[1])
+        c_yawr = params.w_yaw_rate * jnp.square(qvel[5])
+        dyaw = jnp.arctan2(jnp.sin(yaw - params.desired_yaw),
+                           jnp.cos(yaw - params.desired_yaw))
+        c_head = params.w_heading * jnp.square(dyaw)
+        c_rate = params.w_ctrl_rate * jnp.sum(jnp.square(ctrl - prev_ctrl))
+        return (c_gait + c_stance + c_vel + c_h + c_up + c_lat + c_yawr
+                + c_head + c_rate)
+
+    return step_cost
+
+
 def trot_gait_ref(model, params: TrotCostParams, home_joint_qpos,
                   legs: str = "go1"):
     """Phase-referenced trot joint targets in ACTUATOR order — the

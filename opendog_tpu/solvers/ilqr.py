@@ -18,7 +18,12 @@ TPU-first structure:
 State convention: x = [qpos; qvel] treated as Euclidean for linearisation
 (the free-joint quaternion is renormalised inside the dynamics, which keeps
 the local linearisation valid for the small per-step rotations of a 50 Hz
-loop).
+loop).  Stage TIME is threaded through the horizon as a per-stage constant
+(t0 + k*stage_dt, never differentiated), so phase-indexed costs — gait
+references and explicit contact schedules (``costs.ContactSchedule``) —
+bind the correct phase at every horizon step; this is what lets one solve
+optimise through a full stance/swing sequence (BASELINE config 3, "iLQR
+MPC with contact schedule").
 """
 from __future__ import annotations
 
@@ -225,6 +230,10 @@ def make_ilqr(
     def unpack(x):
         return x[:nq], x[nq:]
 
+    # each f() advances one control stage of the rollout model
+    stage_dt = float(config.n_substeps) * float(
+        config.rollout_dt if config.rollout_dt else model.timestep)
+
     def f(x, u):
         qpos, qvel = unpack(x)
         st = State(qpos=qpos, qvel=qvel, time=jnp.zeros(()))
@@ -234,21 +243,22 @@ def make_ilqr(
             )
         return pack(st2.qpos, st2.qvel)
 
-    def _as_state(x):
+    def _as_state(x, t):
         qpos, qvel = unpack(x)
-        # iLQR linearises over [qpos; qvel] only; time-/phase-dependent
-        # costs should bind their phase before entering iLQR
-        return State(qpos=qpos, qvel=qvel, time=jnp.zeros(()))
+        # iLQR linearises over [qpos; qvel] only; time is threaded through
+        # as a per-stage CONSTANT (t0 + k*stage_dt), so phase-indexed costs
+        # (gait references, contact schedules) see the right phase at every
+        # horizon step without being differentiated through
+        return State(qpos=qpos, qvel=qvel, time=t)
 
-    def stage_cost(x, u, u_prev):
-        return step_cost(_as_state(x), u, u_prev) + config.u_cost_reg * jnp.sum(
-            jnp.square(u)
-        )
+    def stage_cost(x, u, u_prev, t):
+        return step_cost(_as_state(x, t), u, u_prev) \
+            + config.u_cost_reg * jnp.sum(jnp.square(u))
 
-    def term_cost(x):
+    def term_cost(x, t):
         if terminal_cost is not None:
-            return terminal_cost(_as_state(x))
-        return step_cost(_as_state(x), jnp.zeros(nu), jnp.zeros(nu))
+            return terminal_cost(_as_state(x, t))
+        return step_cost(_as_state(x, t), jnp.zeros(nu), jnp.zeros(nu))
 
     def rollout(x0, U):
         def tick(x, u):
@@ -258,26 +268,27 @@ def make_ilqr(
         _, X1 = jax.lax.scan(tick, x0, U)
         return jnp.concatenate([x0[None], X1], axis=0)  # (H+1, nx)
 
-    def total_cost(X, U):
+    def total_cost(X, U, times):
         Uprev = jnp.concatenate([U[:1], U[:-1]], axis=0)
-        cs = jax.vmap(stage_cost)(X[:-1], U, Uprev)
-        return jnp.sum(cs) + term_cost(X[-1])
+        cs = jax.vmap(stage_cost)(X[:-1], U, Uprev, times[:-1])
+        return jnp.sum(cs) + term_cost(X[-1], times[-1])
 
     # ---------------- derivatives (batched over the horizon) -------------
     dfdx = jax.vmap(jax.jacfwd(f, argnums=0))
     dfdu = jax.vmap(jax.jacfwd(f, argnums=1))
 
-    def cost_expansion(X, U):
+    def cost_expansion(X, U, times):
         Uprev = jnp.concatenate([U[:1], U[:-1]], axis=0)
-        lx = jax.vmap(jax.grad(stage_cost, argnums=0))(X[:-1], U, Uprev)
-        lu = jax.vmap(jax.grad(stage_cost, argnums=1))(X[:-1], U, Uprev)
-        lxx = jax.vmap(jax.hessian(stage_cost, argnums=0))(X[:-1], U, Uprev)
-        luu = jax.vmap(jax.hessian(stage_cost, argnums=1))(X[:-1], U, Uprev)
+        args = (X[:-1], U, Uprev, times[:-1])
+        lx = jax.vmap(jax.grad(stage_cost, argnums=0))(*args)
+        lu = jax.vmap(jax.grad(stage_cost, argnums=1))(*args)
+        lxx = jax.vmap(jax.hessian(stage_cost, argnums=0))(*args)
+        luu = jax.vmap(jax.hessian(stage_cost, argnums=1))(*args)
         lux = jax.vmap(
             jax.jacfwd(jax.grad(stage_cost, argnums=1), argnums=0)
-        )(X[:-1], U, Uprev)
-        vx = jax.grad(term_cost)(X[-1])
-        vxx = jax.hessian(term_cost)(X[-1])
+        )(*args)
+        vx = jax.grad(term_cost)(X[-1], times[-1])
+        vxx = jax.hessian(term_cost)(X[-1], times[-1])
         return lx, lu, lxx, luu, lux, vx, vxx
 
     # ---------------- backward passes ------------------------------------
@@ -334,18 +345,21 @@ def make_ilqr(
 
     def solve(state: State, U_init: jax.Array):
         x0 = pack(state.qpos, state.qvel)
+        # stage times along the horizon: phase-indexed costs bind here
+        times = state.time + stage_dt * jnp.arange(
+            config.horizon + 1, dtype=jnp.float32)
 
         def iteration(carry, _):
             U, cost, reg = carry
             X = rollout(x0, U)
             A = dfdx(X[:-1], U)
             B = dfdu(X[:-1], U)
-            lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U)
+            lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U, times)
             k, K, dV = backward(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
 
             alphas = jnp.asarray(config.line_search_alphas)
             Xc, Uc = jax.vmap(lambda a: forward(x0, X, U, k, K, a))(alphas)
-            costs = jax.vmap(total_cost)(Xc, Uc)
+            costs = jax.vmap(lambda Xa, Ua: total_cost(Xa, Ua, times))(Xc, Uc)
             best = jnp.argmin(costs)
             improved = costs[best] < cost
             U_next = jnp.where(improved, Uc[best], U)
@@ -358,7 +372,7 @@ def make_ilqr(
             return (U_next, cost_next, reg_next), cost_next
 
         U0 = U_init
-        cost0 = total_cost(rollout(x0, U0), U0)
+        cost0 = total_cost(rollout(x0, U0), U0, times)
         (U, cost, _), cost_trace = jax.lax.scan(
             iteration, (U0, cost0, jnp.float32(config.reg_init)),
             None, length=config.iterations,
@@ -370,7 +384,7 @@ def make_ilqr(
         # unused by the caller.
         A = dfdx(X[:-1], U)
         B = dfdu(X[:-1], U)
-        lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U)
+        lx, lu, lxx, luu, lux, vx, vxx = cost_expansion(X, U, times)
         k_ff, K_fb, _ = backward(
             A, B, lx, lu, lxx, luu, lux, vx, vxx,
             jnp.float32(config.reg_init),

@@ -73,6 +73,7 @@ def make_solver(
     mesh: Optional[Mesh] = None,
     sample_axis: str = "mp",
     with_payload: bool = False,
+    with_command: bool = False,
 ):
     """Build ``solve(physics_state, mppi_state, key) -> (ctrl, mppi_state',
     stats)``.  Jit (or vmap for batched scenarios) the returned function.
@@ -88,6 +89,14 @@ def make_solver(
     rigidly attached at the trunk origin, carried on the kernel's payload
     lanes — so the controller PLANS with the load it knows it carries
     (and domain-randomized training can vary it per scenario).
+
+    With ``with_command=True`` the solve takes a trailing ``command``
+    vector forwarded to ``step_cost(state, ctrl, prev_ctrl, command)`` —
+    runtime task conditioning (commanded velocity / heading,
+    ``costs.trot_cost_cmd``) without recompiling per command, mirroring
+    the reference's randomized desired velocity
+    (WalkEnvironment.py:138-151).  Composable with ``with_payload``;
+    argument order is ``solve(state, mppi, key[, payload][, command])``.
 
     PERF: keep the receding-horizon loop ON-DEVICE (``lax.scan`` over
     ticks, as ``make_mpc(...).run`` does).  Feeding the returned
@@ -105,15 +114,24 @@ def make_solver(
         model.replace(timestep=config.rollout_dt) if config.rollout_dt else model
     )
 
-    def rollout_cost(state: State, ctrl_seq: jax.Array) -> jax.Array:
+    def _bind_cost(command):
+        """step_cost with the runtime command bound (identity when the
+        solver is not command-conditioned)."""
+        if not with_command:
+            return step_cost
+        return lambda st, c, p: step_cost(st, c, p, command)
+
+    def rollout_cost(state: State, ctrl_seq: jax.Array,
+                     command=None) -> jax.Array:
         """Total cost of one control sequence (H, nu) from ``state``."""
+        cost_fn = _bind_cost(command)
 
         def tick(carry, ctrl):
             st, prev_ctrl, disc = carry
             st2, _ = dynamics.step(
                 rollout_model, st, ctrl, terrain, n_substeps=config.n_substeps
             )
-            c = step_cost(st2, ctrl, prev_ctrl) * disc
+            c = cost_fn(st2, ctrl, prev_ctrl) * disc
             return (st2, ctrl, disc * config.gamma), c
 
         (final, _, _), costs = jax.lax.scan(
@@ -153,9 +171,10 @@ def make_solver(
         return jnp.tile(row[:, None], (1, k))
 
     def rollout_costs_pallas(state: State, candidates: jax.Array,
-                             payload=None):
+                             payload=None, command=None):
         """Rollout of all candidates via the fused kernel: carry is the
         (rows, k) lane layout, one pallas_call per control step."""
+        cost_fn = _bind_cost(command)
         k = candidates.shape[0]
         qp0 = jnp.tile(state.qpos[:, None], (1, k))
         qv0 = jnp.tile(state.qvel[:, None], (1, k))
@@ -175,7 +194,8 @@ def make_solver(
             t2 = t + dt_tick
             st = State(qpos=qp2.T, qvel=qv2.T,
                        time=jnp.full((k,), t2, jnp.float32))
-            c = jax.vmap(step_cost)(st, ctrl, prev_ctrl) * disc
+            c = jax.vmap(cost_fn, in_axes=(0, 0, 0))(st, ctrl, prev_ctrl) \
+                * disc
             return (qp2, qv2, ctrl, t2, disc * config.gamma), c
 
         (qpf, qvf, _, tf, _), costs = jax.lax.scan(
@@ -209,12 +229,13 @@ def make_solver(
         return jnp.clip(nominal[None] + eps, lo, hi)
 
     def _rollout_costs(state: State, candidates: jax.Array,
-                       payload=None) -> jax.Array:
+                       payload=None, command=None) -> jax.Array:
         if config.engine == "pallas":
-            costs = rollout_costs_pallas(state, candidates, payload)
+            costs = rollout_costs_pallas(state, candidates, payload,
+                                         command)
         else:
-            costs = jax.vmap(rollout_cost, in_axes=(None, 0))(
-                state, candidates)
+            costs = jax.vmap(rollout_cost, in_axes=(None, 0, None))(
+                state, candidates, command)
         # diverged candidate rollouts (coarse planning dt) must not poison
         # the softmax: treat non-finite costs as very bad, not NaN
         return jnp.where(jnp.isfinite(costs), costs, 1e9)
@@ -248,29 +269,40 @@ def make_solver(
         return new_nominal, stats
 
     def solve(state: State, mppi: MPPIState, key: jax.Array,
-              payload=None):
-        if with_payload:
-            assert payload is not None, "solver built with_payload=True"
+              *aux):
+        if with_payload or with_command:
+            expect = int(with_payload) + int(with_command)
+            assert len(aux) == expect, (
+                f"solver built with_payload={with_payload}, "
+                f"with_command={with_command}: expected {expect} trailing "
+                f"args (payload first), got {len(aux)}")
+        payload = aux[0] if with_payload else None
+        command = aux[-1] if with_command else None
         keys = jax.random.split(key, K)
 
         if mesh is None:
             candidates = _sample_candidates(mppi.nominal, keys)
-            costs = _rollout_costs(state, candidates, payload)
+            costs = _rollout_costs(state, candidates, payload, command)
             new_nominal, stats = _weighted_update(candidates, costs)
         else:
-            def shard_fn(st, nominal, keys_local, pl):
+            def shard_fn(st, nominal, keys_local, pl, cmd):
                 cand = _sample_candidates(nominal, keys_local)
-                costs = _rollout_costs(st, cand, pl)
+                costs = _rollout_costs(
+                    st, cand,
+                    pl if with_payload else None,
+                    cmd if with_command else None)
                 return _weighted_update(cand, costs, axis_name=sample_axis)
 
             pl_in = (jnp.float32(payload) if with_payload
                      else jnp.float32(0.0))
+            cmd_in = (jnp.asarray(command, jnp.float32) if with_command
+                      else jnp.zeros(1, jnp.float32))
             new_nominal, stats = shard_map(
                 shard_fn, mesh=mesh,
-                in_specs=(P(), P(), P(sample_axis), P()),
+                in_specs=(P(), P(), P(sample_axis), P(), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(state, mppi.nominal, keys, pl_in)
+            )(state, mppi.nominal, keys, pl_in, cmd_in)
 
         ctrl = new_nominal[0]
         # receding horizon: shift, repeat last

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Command-conditioned MPC -> policy distillation with a velocity-command
+CURRICULUM (BASELINE.json config 5; VERDICT r3 item 1).
+
+One student learns the whole command family: each DAgger round samples a
+per-scenario command (vx, vy, yaw_target) from a WIDENING curriculum
+(nominal trot speed first, then the full range incl. 0 = stand and turning
+headings); the MPPI expert plans for its scenario's command
+(``mppi.make_solver(with_command=True)`` + ``costs.trot_cost_cmd``), and
+the student observes the command.  Mirrors the reference's per-reset
+randomized desired velocity (environments/WalkEnvironment.py:138-151) —
+which its fixed-gait students never actually learned to track.
+
+Proof: a student-only rollout over a fixed command grid — the SAME network
+must hold a stand (cmd 0), track multiple forward speeds, and turn to
+commanded headings.  Artifacts: runs/distill_cmd/{student.msgpack,
+metrics.json}.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+EVAL_CMDS = [
+    [0.0, 0.0, 0.0],     # stand
+    [0.25, 0.0, 0.0],    # slow trot
+    [0.5, 0.0, 0.0],     # nominal trot
+    [0.6, 0.0, 0.0],     # fast trot
+    [0.3, 0.0, 0.4],     # trot + turn left
+    [0.3, 0.0, -0.4],    # trot + turn right
+    [0.0, 0.0, 0.5],     # turn in place
+    [0.5, 0.0, 0.2],     # fast + slight turn
+]
+
+
+def sample_commands(rng, S, frac):
+    """Widening curriculum: start near the nominal trot (0.4-0.5 m/s,
+    straight), end covering vx in [0, 0.6], yaw in +-0.5, with explicit
+    stand samples."""
+    vx_lo = 0.4 * (1.0 - frac)
+    vx_hi = 0.5 + 0.1 * frac
+    vx = rng.uniform(vx_lo, vx_hi, S)
+    yaw = rng.uniform(-0.5 * frac, 0.5 * frac, S)
+    stand = rng.random(S) < 0.15 * frac
+    vx = np.where(stand, 0.0, vx)
+    return np.stack([vx, np.zeros(S), yaw], axis=1).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=24)
+    ap.add_argument("--scenarios", type=int, default=8)
+    ap.add_argument("--ticks", type=int, default=100)
+    ap.add_argument("--eval_ticks", type=int, default=400)
+    ap.add_argument("--out", default="runs/distill_cmd")
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from opendog_tpu.physics import State, make_state, spatial
+    from opendog_tpu.physics import dynamics as _dyn
+    from opendog_tpu.rl.distill import DistillConfig, make_distiller
+    from opendog_tpu.rl.distill_zoo import cmd_distill_setup
+    from opendog_tpu.solvers import mppi as mppi_mod
+
+    engine = "pallas" if jax.default_backend() != "cpu" else "xla"
+    setup = cmd_distill_setup("go1", engine=engine)
+    if args.smoke:
+        from opendog_tpu.solvers import MPPIConfig
+
+        args.rounds, args.ticks, args.eval_ticks = 1, 2, 3
+        args.scenarios = min(args.scenarios, 2)
+        setup = setup._replace(mppi_config=MPPIConfig(
+            horizon=3, num_samples=8, n_substeps=1, rollout_dt=0.01,
+            engine=engine))
+    m, cost, u_ref, obs_fn, net = (setup.model, setup.cost, setup.u_ref,
+                                   setup.obs_fn, setup.net)
+    mcfg, z_band = setup.mppi_config, setup.z_band
+    S = args.scenarios
+    dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
+                         rounds=args.rounds, lr=1e-3, batch_size=512,
+                         epochs_per_round=8, beta_decay=0.9)
+    init, round_fn, eval_fn, collect, train_on = make_distiller(
+        m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
+        plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True,
+        command_dim=3)
+
+    s0 = make_state(m, "home")
+    hold = jnp.asarray(np.clip(np.asarray(m.key_ctrl[0], np.float32),
+                               np.asarray(m.actuator_ctrlrange)[:, 0],
+                               np.asarray(m.actuator_ctrlrange)[:, 1]))
+    s0, _ = jax.jit(lambda st: _dyn.step(m, st, hold, None,
+                                         n_substeps=150))(s0)
+    s0 = State(qpos=s0.qpos, qvel=s0.qvel * 0.0, time=jnp.zeros(()))
+    kq = jax.random.split(jax.random.PRNGKey(7), S)
+
+    def jitter(key, qpos):
+        kj, kz = jax.random.split(key)
+        qpos = qpos.at[7:].add(0.03 * jax.random.normal(kj, (m.nq - 7,)))
+        return qpos.at[2].add(0.01 * jax.random.normal(kz, ()))
+
+    qpos0 = jax.vmap(jitter, in_axes=(0, None))(kq, s0.qpos)
+    plants0 = State(qpos=qpos0, qvel=jnp.zeros((S, m.nv)),
+                    time=jnp.zeros(S))
+    plants = plants0
+    dstate = init(jax.random.PRNGKey(0), s0)
+
+    jcollect = jax.jit(collect)
+    jtrain = jax.jit(train_on)
+    TRAIN_N = 8192
+    rng = np.random.default_rng(0)
+    buf_obs, buf_lab = [], []
+    t0 = time.time()
+    loss = float("nan")
+    for r in range(args.rounds):
+        frac = r / max(1, args.rounds - 1)
+        beta = dcfg.beta_decay ** r
+        cmds = jnp.asarray(sample_commands(rng, S, frac))
+        mstates = jax.vmap(lambda _: mppi_mod.init_state(m, mcfg))(
+            jnp.arange(S))
+        plants, _, key, obs, labels = jcollect(
+            dstate, plants, mstates, jnp.float32(beta), None, cmds)
+        dstate = dstate.replace(key=key)
+        buf_obs.append(np.asarray(obs)); buf_lab.append(np.asarray(labels))
+        all_obs = np.concatenate(buf_obs); all_lab = np.concatenate(buf_lab)
+        for _ in range(3):
+            idx = rng.integers(0, all_obs.shape[0], TRAIN_N)
+            ko = jax.random.PRNGKey(int(rng.integers(1 << 30)))
+            dstate, loss = jtrain(dstate, jnp.asarray(all_obs[idx]),
+                                  jnp.asarray(all_lab[idx]), ko)
+        loss = float(loss)
+        print(f"round {r}: loss {loss:.4f} beta {beta:.3f} frac {frac:.2f} "
+              f"cmds vx={np.round(np.asarray(cmds)[:, 0], 2).tolist()} "
+              f"buffer {all_obs.shape[0]} ({time.time() - t0:.0f}s)",
+              flush=True)
+        if (r + 1) % 4 == 0:
+            plants = plants0
+    for _ in range(10):
+        idx = rng.integers(0, all_obs.shape[0], TRAIN_N)
+        ko = jax.random.PRNGKey(int(rng.integers(1 << 30)))
+        dstate, loss = jtrain(dstate, jnp.asarray(all_obs[idx]),
+                              jnp.asarray(all_lab[idx]), ko)
+    loss = float(loss)
+    print(f"final fit loss {loss:.4f}", flush=True)
+
+    print("student-only eval over the command grid...", flush=True)
+    eval_cmds = jnp.asarray(np.asarray(EVAL_CMDS[:S], np.float32))
+    out = jax.jit(eval_fn, static_argnums=2)(
+        dstate, plants0, args.eval_ticks, None, eval_cmds)
+    qpos_traj = np.asarray(out["qpos_traj"])      # (T, S, nq)
+    z = qpos_traj[:, :, 2]
+    upright = ((z > z_band[0]) & (z < z_band[1])).all(axis=0)
+    T = qpos_traj.shape[0]
+    half = T // 2
+    # mean forward speed over the second half (transient settled), in the
+    # ROBOT's commanded heading frame
+    per = []
+    for i, c in enumerate(np.asarray(eval_cmds)):
+        dx = qpos_traj[-1, i, 0] - qpos_traj[half, i, 0]
+        dy = qpos_traj[-1, i, 1] - qpos_traj[half, i, 1]
+        dt = (T - half) * 0.02
+        vx_h = (dx * np.cos(c[2]) + dy * np.sin(c[2])) / dt
+        quat = qpos_traj[-1, i, 3:7]
+        yaw = float(np.asarray(spatial.euler_from_quat(jnp.asarray(quat)))[2])
+        per.append(dict(
+            cmd=[round(float(v), 2) for v in c],
+            mean_vx=round(float(vx_h), 3),
+            vx_err=round(float(abs(vx_h - c[0])), 3),
+            final_yaw=round(yaw, 3),
+            yaw_err=round(float(abs(np.arctan2(np.sin(yaw - c[2]),
+                                               np.cos(yaw - c[2])))), 3),
+            upright=bool(upright[i]),
+        ))
+        print(json.dumps(per[-1]), flush=True)
+    speeds_tracked = sum(
+        1 for p in per
+        if p["upright"] and p["cmd"][2] == 0.0 and p["vx_err"] < 0.12)
+    heading_ok = [p for p in per if p["cmd"][2] != 0.0
+                  and p["upright"] and p["yaw_err"] < 0.2]
+    res = dict(
+        rounds=args.rounds,
+        final_loss=loss,
+        action_rmse=float(out["action_rmse"]),
+        eval_ticks=args.eval_ticks,
+        per_command=per,
+        speeds_tracked=speeds_tracked,
+        headings_tracked=len(heading_ok),
+        upright_all=bool(upright.all()),
+        # VERDICT done-criterion: >= 3 distinct speeds incl. stand + turns
+        tracks_3_speeds_and_turns=bool(
+            speeds_tracked >= 3
+            and any(p["cmd"][0] == 0.0 and p["vx_err"] < 0.07
+                    and p["upright"] for p in per)
+            and len(heading_ok) >= 2),
+        wall_s=round(time.time() - t0, 1),
+        recipe=setup.recipe,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    with open(os.path.join(args.out, "student.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(dstate.params)))
+    print(json.dumps({k: v for k, v in res.items() if k != "per_command"}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

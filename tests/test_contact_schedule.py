@@ -1,0 +1,106 @@
+"""Contact-scheduled whole-body iLQR (BASELINE config 3: "iLQR MPC with
+contact schedule").
+
+The schedule interface is ``costs.ContactSchedule`` (explicit per-leg
+stance/swing slots); iLQR threads stage time through the horizon
+(solvers/ilqr.py), so one solve optimises through the full stance/swing
+sequence.  Phase semantics for the landing schedule follow the reference's
+front-then-back landing phases
+(rewards/landing_environment_reward_calc.py:107-135).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opendog_tpu.assets import load_go1, load_opendog
+from opendog_tpu.physics import State, dynamics, make_state
+from opendog_tpu.solvers import costs
+from opendog_tpu.solvers.ilqr import ILQRConfig, make_ilqr
+
+
+def _posed_state(m, joints, t=0.0):
+    qpos = jnp.asarray(m.key_qpos[0]).at[7:].set(jnp.asarray(joints))
+    return State(qpos=qpos, qvel=jnp.zeros(m.nv), time=jnp.asarray(t))
+
+
+def test_trot_schedule_table():
+    pc = costs.TrotCostParams(thigh_amp=0.2, period_s=0.4)
+    s = costs.trot_schedule(pc, legs="go1")
+    stance = np.asarray(s.stance)
+    # two slots, diagonal pairs alternate: FR,RL swing in slot 0
+    assert stance.shape == (2, 4)
+    np.testing.assert_allclose(stance[0], [0, 1, 1, 0])
+    np.testing.assert_allclose(stance[1], [1, 0, 0, 1])
+    assert s.slot_dt == pytest.approx(0.2)
+    # thigh offsets alternate sign (triangle-wave fore-aft swing)
+    off = np.asarray(s.thigh_offset)
+    np.testing.assert_allclose(off[0], -off[1])
+
+
+def test_schedule_cost_cyclic_wrap_and_clamp():
+    m = load_go1("flat")
+    home_j = np.asarray(m.key_qpos[0])[7:]
+    pc = costs.TrotCostParams()
+    cyc = costs.contact_schedule_cost(
+        m, costs.trot_schedule(pc, legs="go1"), pc, home_j, legs="go1")
+    st = _posed_state(m, home_j, t=0.07)
+    u = jnp.asarray(m.key_ctrl[0])
+    c0 = float(cyc(st, u, u))
+    c1 = float(cyc(st.replace(time=st.time + pc.period_s), u, u))
+    assert c0 == pytest.approx(c1, rel=1e-5)  # cyclic: exact period wrap
+    # non-cyclic landing schedule clamps at the final all-stance slot
+    land = costs.contact_schedule_cost(
+        m, costs.landing_schedule(0.2), pc, home_j, legs="go1")
+    cA = float(land(st.replace(time=jnp.asarray(10.0)), u, u))
+    cB = float(land(st.replace(time=jnp.asarray(100.0)), u, u))
+    assert cA == pytest.approx(cB, rel=1e-6)
+
+
+def test_schedule_cost_prefers_scheduled_pose():
+    """A pose matching the schedule's swing-knee reference must cost less
+    than the mirrored (wrong-diagonal) pose at the same time."""
+    m = load_go1("flat")
+    home_j = np.asarray(m.key_qpos[0])[7:]
+    pc = costs.TrotCostParams(knee_lift=0.3, thigh_amp=0.0)
+    sched = costs.trot_schedule(pc, legs="go1")
+    cost = costs.contact_schedule_cost(m, sched, pc, home_j, legs="go1",
+                                       w_stance_vel=0.0)
+    knee_idx = np.array([2, 5, 8, 11])
+    # mid-slot 0: FR,RL in swing (stance row [0,1,1,0])
+    t = 0.5 * sched.slot_dt
+    right = home_j.copy()
+    right[knee_idx] += -0.3 * np.array([1.0, 0.0, 0.0, 1.0])
+    wrong = home_j.copy()
+    wrong[knee_idx] += -0.3 * np.array([0.0, 1.0, 1.0, 0.0])
+    u = jnp.asarray(m.key_ctrl[0])
+    c_right = float(cost(_posed_state(m, right, t), u, u))
+    c_wrong = float(cost(_posed_state(m, wrong, t), u, u))
+    assert c_right < c_wrong
+
+
+def test_scheduled_ilqr_solves_and_is_phase_indexed():
+    """iLQR with a contact-scheduled cost must (a) reduce the cost and
+    (b) produce phase-dependent plans: solving from one slot later yields
+    different controls (stage-time threading, solvers/ilqr.py)."""
+    m = load_opendog("flat")
+    home_j = np.asarray(m.key_qpos[0])[7:]
+    hj = home_j.copy()
+    hj[[0, 2, 4, 6]] = 2.58
+    hj[[1, 3, 5, 7]] = -1.5
+    pc = costs.TrotCostParams(desired_vel_xy=(0.28, 0.0),
+                              target_height=0.0703, thigh_amp=0.22,
+                              knee_lift=0.12, w_height=80.0)
+    sched = costs.trot_schedule(pc, legs="opendog")
+    cost = costs.contact_schedule_cost(m, sched, pc, hj, legs="opendog")
+    cfg = ILQRConfig(horizon=6, n_substeps=2, rollout_dt=0.01, iterations=2)
+    solve = jax.jit(make_ilqr(m, cost, cfg))
+    st = make_state(m, "home")
+    st, _ = dynamics.step(m, st, jnp.asarray(m.key_ctrl[0]), None,
+                          n_substeps=200)
+    U0 = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (cfg.horizon, 1))
+    U, X, stats = solve(st, U0)
+    assert float(stats["cost"]) < float(stats["initial_cost"])
+    assert np.isfinite(np.asarray(U)).all()
+    U2, _, _ = solve(st.replace(time=st.time + sched.slot_dt), U0)
+    assert float(jnp.abs(U - U2).max()) > 1e-3
