@@ -89,18 +89,30 @@ _PHONEMES: Dict[str, List[str]] = {
 
 
 def _vowel(f1: float, f2: float, dur_s: float, f0: float,
-           rng: np.random.Generator) -> np.ndarray:
+           rng: np.random.Generator, formant_scale: float = 1.0,
+           vibrato: float = 0.0) -> np.ndarray:
     """Voiced segment: harmonic series of f0 with formant-shaped
-    amplitudes (two Gaussian resonances)."""
+    amplitudes (two Gaussian resonances).  ``formant_scale`` shifts the
+    resonances (vocal-tract length change); ``vibrato`` is a 5 Hz pitch
+    modulation depth in semitones — both are OFF-DISTRIBUTION knobs the
+    keyword templates are never built with (held-out speaker eval,
+    scripts/voice_offdist_eval.py)."""
+    f1, f2 = f1 * formant_scale, f2 * formant_scale
     n = int(dur_s * SR)
     t = np.arange(n) / SR
     sig = np.zeros(n)
+    if vibrato > 0.0:
+        # phase-integrated FM: f0(t) = f0 * 2^(vibrato/12 * sin(2pi 5 t))
+        ratio = 2.0 ** (vibrato / 12.0 * np.sin(2 * np.pi * 5.0 * t))
+        base_phase = 2 * np.pi * np.cumsum(f0 * ratio) / SR
+    else:
+        base_phase = 2 * np.pi * f0 * t
     for k in range(1, int(4000 / f0)):
         f = k * f0
         amp = (np.exp(-0.5 * ((f - f1) / 120.0) ** 2)
                + 0.7 * np.exp(-0.5 * ((f - f2) / 180.0) ** 2)
                + 0.02)
-        sig += amp * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        sig += amp * np.sin(k * base_phase + rng.uniform(0, 2 * np.pi))
     # gentle onset/offset to avoid clicks
     env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 160.0)
     return sig * env
@@ -117,9 +129,16 @@ def _noise_band(center: float, dur_s: float,
 
 
 def synthesize_word(word: str, f0: float = 120.0, rate: float = 1.0,
-                    noise: float = 0.0, seed: int = 0) -> np.ndarray:
+                    noise: float = 0.0, seed: int = 0,
+                    formant_scale: float = 1.0, vibrato: float = 0.0,
+                    reverb_s: float = 0.0) -> np.ndarray:
     """Synthesize one vocabulary word at SR=16 kHz.  ``f0``/``rate`` vary
-    the speaker; ``noise`` adds white noise (SNR control for tests)."""
+    the speaker; ``noise`` adds white noise (SNR control for tests).
+
+    ``formant_scale``/``vibrato``/``reverb_s`` are OFF-DISTRIBUTION
+    perturbations (vocal-tract shift, pitch modulation, exponential-decay
+    room reverb) never used when building the spotter's templates — the
+    held-out speaker axes of scripts/voice_offdist_eval.py."""
     word = _normalize(word)
     phones = _PHONEMES[word]
     rng = np.random.default_rng(seed)
@@ -135,7 +154,8 @@ def synthesize_word(word: str, f0: float = 120.0, rate: float = 1.0,
             trill_dur = 0.07 / rate
         if ph in _VOWELS:
             f1, f2 = _VOWELS[ph]
-            pieces.append(_vowel(f1, f2, 0.12 / rate, f0, rng))
+            pieces.append(_vowel(f1, f2, 0.12 / rate, f0, rng,
+                                 formant_scale, vibrato))
         else:
             kind, prm = _CONSONANTS[ph]
             if kind == "burst":
@@ -145,16 +165,26 @@ def synthesize_word(word: str, f0: float = 120.0, rate: float = 1.0,
                 pieces.append(0.5 * _noise_band(prm, 0.09 / rate, rng))
             elif kind == "nasal":
                 pieces.append(0.6 * _vowel(prm, 2.5 * prm, 0.08 / rate,
-                                           f0, rng))
+                                           f0, rng, formant_scale,
+                                           vibrato))
             elif kind == "trill":
-                v = _vowel(500.0, 1400.0, trill_dur, f0, rng)
+                v = _vowel(500.0, 1400.0, trill_dur, f0, rng,
+                           formant_scale, vibrato)
                 am = 0.5 * (1 + np.sign(np.sin(
                     2 * np.pi * prm * np.arange(len(v)) / SR)))
                 pieces.append(v * am)
             elif kind == "lat":
-                pieces.append(_vowel(360.0, 1600.0, 0.07 / rate, f0, rng))
+                pieces.append(_vowel(360.0, 1600.0, 0.07 / rate, f0, rng,
+                                     formant_scale, vibrato))
         i += 1
     sig = np.concatenate(pieces)
+    if reverb_s > 0.0:
+        # exponential-decay impulse response (simple room model)
+        ir_n = int(reverb_s * SR)
+        ir = (rng.normal(0, 1, ir_n)
+              * np.exp(-np.arange(ir_n) / (0.25 * ir_n)))
+        ir[0] = 3.0  # direct path dominates
+        sig = np.convolve(sig, ir / np.abs(ir).sum() * 3.0)[:len(sig)]
     sig = sig / (np.abs(sig).max() + 1e-9)
     if noise > 0:
         sig = sig + rng.normal(0, noise, sig.shape)

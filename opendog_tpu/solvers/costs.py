@@ -303,12 +303,18 @@ def trot_schedule(params: TrotCostParams, legs: str = "go1"
     )
 
 
-def landing_schedule(slot_dt: float = 0.2) -> ContactSchedule:
+def landing_schedule(slot_dt: float = 0.25) -> ContactSchedule:
     """Front-then-back landing sequence for the Go1 ``descent`` drop
-    (reference phases: flight with legs ready -> front feet touch ->
-    weight onto all four, landing_environment_reward_calc.py:107-135).
-    Leg order FR, FL, RR, RL."""
-    stance = ((0.0, 0.0, 0.0, 0.0),   # flight: all legs swing (tucked)
+    (reference phases: front feet touch first, then weight onto all four,
+    landing_environment_reward_calc.py:107-135).  Leg order FR, FL, RR,
+    RL.  The FRONT legs are planned in stance from the first slot — they
+    REACH for the ground during flight while the rears stay tucked one
+    slot longer; an all-swing flight slot measures as simultaneous
+    touchdown because no leg reaches (landing-config sweep, 2026-08-19:
+    this table + slot_dt 0.25 / knee_lift 0.5 / w_gait 20 / w_upright 60
+    lands ordered 0.24/0.24 vs 0.26/0.26 s AND upright z=0.269,
+    quat_w=0.987)."""
+    stance = ((1.0, 1.0, 0.0, 0.0),   # flight: fronts reach, rears tuck
               (1.0, 1.0, 0.0, 0.0),   # front touch-down
               (1.0, 1.0, 1.0, 1.0))   # all-stance
     return ContactSchedule(stance=stance, slot_dt=slot_dt, cyclic=False)

@@ -274,6 +274,45 @@ def main():
                realtime_factor=round(1.0 / dt, 2),  # cycle covers 1 s
                trunk_z=round(z, 3), healthy=bool(0.15 < z < 0.4))
 
+    # ---- config 3b: contact-scheduled iLQR that LOCOMOTES (VERDICT r3
+    # item 2): go1 trot under the 0.5 s-replan / 50 Hz-track cycle with an
+    # explicit alternating-diagonal ContactSchedule ----
+    if "3b" not in args.skip:
+        m = load_go1("flat")
+        home_j = np.asarray(m.key_qpos[0])[7:]
+        pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                                  target_height=0.265)
+        sched = costs.trot_schedule(pc, legs="go1")
+        cost = costs.contact_schedule_cost(m, sched, pc, home_j,
+                                           legs="go1")
+        icfg = ILQRConfig(horizon=25, n_substeps=2, rollout_dt=0.01,
+                          iterations=4)
+        cycle = jax.jit(make_ilqr_tracker(m, cost, icfg, track_ticks=25,
+                                          plant_substeps=10))
+        s = make_state(m, "home")
+        s, _ = dynamics.step(m, s, jnp.asarray(m.key_ctrl[0]), None,
+                             n_substeps=200)
+        s = s.replace(time=jnp.zeros(()))
+        U = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (icfg.horizon, 1))
+        plant, U, traj = cycle(s, U); fetch(traj["qpos"])
+        x0 = float(np.asarray(plant.qpos)[0])
+        n_cycles = 4
+        t0 = time.time()
+        for _ in range(n_cycles):
+            plant, U, traj = cycle(plant, U)
+        fetch(traj["qpos"])
+        dt = time.time() - t0
+        q = np.asarray(plant.qpos)
+        dist = float(q[0]) - x0
+        record("3b_scheduled_ilqr_trot",
+               cycle_seconds=round(dt / n_cycles, 3),
+               realtime_factor=round(0.5 / (dt / n_cycles), 2),
+               distance_m=round(dist, 3),
+               mean_speed_mps=round(dist / (0.5 * n_cycles), 3),
+               locomotes=bool(dist > 0.1),
+               trunk_z=round(float(q[2]), 3),
+               healthy=bool(0.15 < q[2] < 0.4))
+
     # ---- config 4: 4096 domain-randomized rollouts on one chip ----
     if "4" not in args.skip:
         m = load_opendog("flat")
@@ -348,6 +387,47 @@ def main():
                    env_ticks_per_sec=round(B * n / dt, 1),
                    meets_4096_per_tick=bool(B * n / dt >= 4096 * 50),
                    all_finite=bool(np.isfinite(np.asarray(qv)).all()))
+
+    # ---- config 4d: 32k domain-randomized scenarios on ONE chip (the
+    # single-chip slice of BASELINE config 5's "32k scenarios"; the
+    # multi-process sharded path is measured in scripts/
+    # multiprocess_scaling.py and dry-run by __graft_entry__) ----
+    if "4d" not in args.skip and jax.default_backend() != "cpu":
+        from opendog_tpu.ops.pallas_step import build_pallas_substep
+
+        m = load_opendog("flat")
+        B = 32768
+        rng = np.random.default_rng(0)
+        qp = np.tile(np.asarray(m.key_qpos[0], np.float32)[:, None],
+                     (1, B))
+        qp += 0.02 * rng.standard_normal(qp.shape).astype(np.float32)
+        qv = np.zeros((m.nv, B), np.float32)
+        ct = np.tile(np.asarray(m.key_ctrl[0], np.float32)[:, None],
+                     (1, B))
+        tilt = rng.normal(0, 0.04, (2, B))
+        nz = np.sqrt(1.0 - np.clip(tilt[0] ** 2 + tilt[1] ** 2, 0, 0.5))
+        plane = jnp.asarray(np.stack(
+            [tilt[0], tilt[1], nz,
+             rng.normal(0, 0.03, B)]).astype(np.float32))
+        payload = jnp.asarray(
+            rng.uniform(0.0, 0.5, (1, B)).astype(np.float32))
+        psub = build_pallas_substep(m, float(m.timestep), k_tile=512,
+                                    n_substeps=10, with_plane=True,
+                                    with_payload=True)
+        qp, qv = jnp.asarray(qp), jnp.asarray(qv)
+        ct = jnp.asarray(ct)
+        qp, qv = psub(qp, qv, ct, plane, payload); fetch(qp)
+        n = 20
+        t0 = time.time()
+        for _ in range(n):
+            qp, qv = psub(qp, qv, ct, plane, payload)
+        fetch(qp)
+        dt = time.time() - t0
+        record("4d_batch32k_domrand",
+               scenarios=B,
+               env_ticks_per_sec=round(B * n / dt, 1),
+               meets_32k_per_tick=bool(B * n / dt >= B * 50),
+               all_finite=bool(np.isfinite(np.asarray(qv)).all()))
 
     # ---- config 2e: terrain planning fidelity (VERDICT r2 item 6) —
     # local-plane fused planning vs exact-bilinear op-graph planning,

@@ -36,27 +36,45 @@ EVAL_CMDS = [
 ]
 
 
-def sample_commands(rng, S, frac):
-    """Widening curriculum: start near the nominal trot (0.4-0.5 m/s,
-    straight), end covering vx in [0, 0.6], yaw in +-0.5, with explicit
-    stand samples."""
-    vx_lo = 0.4 * (1.0 - frac)
-    vx_hi = 0.5 + 0.1 * frac
-    vx = rng.uniform(vx_lo, vx_hi, S)
-    yaw = rng.uniform(-0.5 * frac, 0.5 * frac, S)
-    stand = rng.random(S) < 0.15 * frac
-    vx = np.where(stand, 0.0, vx)
+# curriculum grid in difficulty order: nominal trot first, then slower/
+# faster speeds, stand, and turning modes.  DISCRETE modes (with small
+# jitter) rather than a continuum: S x rounds scenario-episodes
+# concentrate per command mode instead of spreading over a 3-D continuum
+# (a continuum curriculum measured to regress toward a stand-still mean).
+CURRICULUM = [
+    (0.5, 0.0), (0.25, 0.0), (0.6, 0.0), (0.0, 0.0),
+    (0.3, 0.4), (0.3, -0.4), (0.5, 0.2), (0.0, 0.5),
+]
+
+
+def sample_commands(rng, S, frac, max_modes=None):
+    """Widening discrete curriculum: round fraction ``frac`` unlocks a
+    prefix of CURRICULUM; each scenario draws one unlocked mode + jitter
+    (stand/turn-in-place modes stay exact — vx jitter would make the
+    stand label ambiguous)."""
+    n_avail = 1 + int(round(frac * (len(CURRICULUM) - 1)))
+    if max_modes is not None:
+        n_avail = min(n_avail, max_modes)
+    modes = rng.integers(0, n_avail, S)
+    vx = np.array([CURRICULUM[i][0] for i in modes])
+    yaw = np.array([CURRICULUM[i][1] for i in modes])
+    moving = vx > 0.0
+    vx = np.where(moving, vx + rng.uniform(-0.05, 0.05, S), 0.0)
+    yaw = yaw + np.where(moving, rng.uniform(-0.05, 0.05, S), 0.0)
     return np.stack([vx, np.zeros(S), yaw], axis=1).astype(np.float32)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rounds", type=int, default=24)
+    ap.add_argument("--rounds", type=int, default=40)
     ap.add_argument("--scenarios", type=int, default=8)
     ap.add_argument("--ticks", type=int, default=100)
     ap.add_argument("--eval_ticks", type=int, default=400)
     ap.add_argument("--out", default="runs/distill_cmd")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--max_modes", type=int, default=None,
+                    help="clamp the curriculum to its first N modes "
+                         "(bisection/debug)")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +103,7 @@ def main():
     S = args.scenarios
     dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
                          rounds=args.rounds, lr=1e-3, batch_size=512,
-                         epochs_per_round=8, beta_decay=0.9)
+                         epochs_per_round=8, beta_decay=0.93)
     init, round_fn, eval_fn, collect, train_on = make_distiller(
         m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
         plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True,
@@ -121,7 +139,7 @@ def main():
     for r in range(args.rounds):
         frac = r / max(1, args.rounds - 1)
         beta = dcfg.beta_decay ** r
-        cmds = jnp.asarray(sample_commands(rng, S, frac))
+        cmds = jnp.asarray(sample_commands(rng, S, frac, args.max_modes))
         mstates = jax.vmap(lambda _: mppi_mod.init_state(m, mcfg))(
             jnp.arange(S))
         plants, _, key, obs, labels = jcollect(
@@ -141,7 +159,7 @@ def main():
               flush=True)
         if (r + 1) % 4 == 0:
             plants = plants0
-    for _ in range(10):
+    for _ in range(20):
         idx = rng.integers(0, all_obs.shape[0], TRAIN_N)
         ko = jax.random.PRNGKey(int(rng.integers(1 << 30)))
         dstate, loss = jtrain(dstate, jnp.asarray(all_obs[idx]),

@@ -89,11 +89,13 @@ def main(argv=None):
         print(json.dumps({"arm": "trot", **res["trot"]}), flush=True)
 
     if "landing" in args.arms:
+        # landing-config sweep winner (.scratch/landing_sweep.py,
+        # 2026-08-19): ordered touchdown + upright recovery
         pc = costs.TrotCostParams(desired_vel_xy=(0.0, 0.0),
-                                  target_height=0.265, knee_lift=0.45,
+                                  target_height=0.265, knee_lift=0.5,
                                   w_gait=20.0, w_height=40.0,
-                                  w_upright=40.0)
-        sched = costs.landing_schedule(slot_dt=0.22)
+                                  w_upright=60.0)
+        sched = costs.landing_schedule(slot_dt=0.25)
         cost = costs.contact_schedule_cost(m, sched, pc, home_j,
                                            legs="go1", w_stance_vel=0.1)
         icfg = ILQRConfig(horizon=40, n_substeps=2, rollout_dt=0.01,

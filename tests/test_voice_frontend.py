@@ -43,6 +43,31 @@ def test_every_keyword_recognized_across_speakers(spotter):
             assert got == w, f"{w}: got {got} (score {score:.3f})"
 
 
+def test_offdist_speaker_floor(spotter):
+    """Off-distribution floor (VERDICT r3 item 4): perturbation axes the
+    templates are NEVER built with — formant shift (vocal-tract length),
+    vibrato, reverb — must still classify; and an extreme shift must
+    degrade (proves the eval can fail).  Full matrix + SNR sweep:
+    scripts/voice_offdist_eval.py -> runs/voice_offdist/ (measured
+    2026-08-19: 1.0 through formant 0.88-1.12 x f0 90-210 x rate
+    0.85-1.2, vibrato 0.5 st, reverb 120 ms, SNR >= -1 dB; breaks at
+    formant 1.4)."""
+    words = ["perrito", "camina", "izquierda"]
+    for w in words:
+        for kw in (dict(formant_scale=0.9, f0=95.0, rate=0.9),
+                   dict(formant_scale=1.1, f0=180.0, rate=1.15),
+                   dict(vibrato=0.4, reverb_s=0.08, f0=140.0)):
+            clip = synthesize_word(w, seed=31, **kw)
+            pred, _ = spotter.classify(clip)
+            assert pred == w, (w, kw, pred)
+    # sanity: an extreme vocal-tract shift must NOT classify perfectly
+    wrong = sum(
+        spotter.classify(synthesize_word(w, seed=31,
+                                         formant_scale=1.45))[0] != w
+        for w in words)
+    assert wrong >= 1
+
+
 def test_noise_clip_rejected(spotter):
     rng = np.random.default_rng(0)
     got, score = spotter.classify(rng.normal(0, 1, 8000).astype(np.float32))
