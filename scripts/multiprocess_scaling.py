@@ -187,11 +187,15 @@ def main():
         provenance=dict(
             recorded_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
             plumbing_not_perf=True,
+            host_cores=os.cpu_count(),
             note=("N OS processes x 1 virtual CPU device over host memory "
                   "(jax.distributed): proves the cross-process sharded "
                   "programs execute end-to-end and bounds their overhead. "
-                  "NOT TPU numbers — real ICI projections are modeled in "
-                  "SCALING.json; single-chip measurements in "
+                  "NOT TPU numbers — and the weak-scaling efficiencies at "
+                  "N > host cores measure CPU OVERSUBSCRIPTION of this "
+                  "shared host (every process competes for the same "
+                  "cores), not collective cost.  Real ICI projections are "
+                  "modeled in SCALING.json; single-chip measurements in "
                   "BENCH_SUITE.json."),
         ),
         mppi_weak_scaling=[],
