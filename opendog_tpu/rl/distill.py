@@ -66,6 +66,8 @@ def make_distiller(
     with_prev_ctrl: bool = False,
     payload_range: tuple = None,  # (lo, hi) kg -> payload-randomized DAgger
     command_dim: int = 0,  # >0 -> command-conditioned DAgger
+    plant_k_tile: int = None,  # pallas plant lane tile; default = S
+    anchor_w: float = 0.0,  # >0 -> expert anchored to action_ref_fn
 ):
     """Returns (init, round_fn, eval_fn).
 
@@ -123,9 +125,19 @@ def make_distiller(
     if use_payload:
         assert mppi_config.engine == "pallas", \
             "payload randomization rides the fused kernel's payload lanes"
+    if anchor_w > 0.0:
+        assert action_ref_fn is not None, \
+            "anchor_w anchors the expert to action_ref_fn"
+    # anchor_w > 0 prices the expert's plan-retiming freedom: unanchored,
+    # the warm-started nominal drifts in phase from u_ref and the labels
+    # (expert - u_ref) inherit ~gait-amplitude hidden-state dependence the
+    # student cannot regress (the measured stand-collapse, docs/PARITY.md)
     solve = mppi.make_solver(model, step_cost, mppi_config,
                              with_payload=use_payload,
-                             with_command=use_command)
+                             with_command=use_command,
+                             u_ref_fn=(action_ref_fn if anchor_w > 0.0
+                                       else None),
+                             anchor_w=anchor_w)
     tx = optax.adam(config.lr)
     S = config.num_scenarios
     lo, hi = jnp.asarray(model.actuator_ctrlrange).T
@@ -138,7 +150,7 @@ def make_distiller(
         from ..ops.pallas_step import build_pallas_substep
 
         _plant_sub = build_pallas_substep(
-            model, float(model.timestep), k_tile=S,
+            model, float(model.timestep), k_tile=plant_k_tile or S,
             n_substeps=plant_substeps, with_payload=use_payload)
 
         def plant_step(plants: State, ctrl, payloads=None):

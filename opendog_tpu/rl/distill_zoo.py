@@ -122,8 +122,18 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
     (environments/WalkEnvironment.py:138-151) recast for the MPC expert."""
     base = trot_distill_setup(robot, engine=engine)
     if robot == "go1":
+        # QUADRATURE knee-lift timing (lift_phase=pi/2): the open-loop
+        # reference then WALKS at a speed set by thigh_amp (measured on
+        # the fused-kernel plant: amp 0.2 -> 0.52 m/s, amp 0.3 ->
+        # 0.86 m/s; the legacy in-phase lift drags the foot and marches
+        # BACKWARD, vx -0.18 at the same amplitude).  With the reference
+        # already tracking the commanded speed open-loop, the expert's
+        # labels are small stabilizing residuals — the regression target
+        # the stand-collapsed v1-v4 students never had.
         pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
-                                  target_height=0.265)
+                                  target_height=0.265,
+                                  lift_phase=float(np.pi / 2),
+                                  thigh_amp=0.19)
         home_j = np.asarray(base.model.key_qpos[0])[7:]
     else:
         raise ValueError("command-conditioned zoo setup wired for go1")
@@ -133,9 +143,12 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
     # residuals at off-nominal commands — measured to regress to a
     # stand-still student)
     u_ref = costs.trot_gait_ref_cmd(base.model, pc, home_j, legs=robot)
-    recipe = dict(base.recipe, command_conditioned=True,
-                  command=["vx", "vy", "yaw_target"],
-                  u_ref="trot_gait_ref_cmd")
+    recipe = dict(
+        base.recipe, command_conditioned=True,
+        command=["vx", "vy", "yaw_target"],
+        u_ref="trot_gait_ref_cmd",
+        cost_params={k: (list(v) if isinstance(v, tuple) else float(v))
+                     for k, v in pc._asdict().items()})
     return base._replace(cost=cost, u_ref=u_ref, recipe=recipe)
 
 

@@ -89,6 +89,13 @@ class TrotCostParams(NamedTuple):
                                # while trotting (the TurnEnvironment task)
     w_ctrl_rate: float = 0.3
     thigh_phase: float = 1.0   # +1: swing-leg thigh rotates forward with s
+    lift_phase: float = 0.0    # knee-lift oscillator phase lead [rad].
+    # 0 = lift in phase with thigh POSITION (legacy; measured to drag the
+    # foot through the swing -> open-loop marching slips BACKWARD on go1,
+    # see docs/PARITY.md).  pi/2 = QUADRATURE: the foot lifts while the
+    # thigh TRANSITIONS (velocity max) — open-loop forward walk whose
+    # speed scales with thigh_amp (go1: amp 0.2 -> 0.52 m/s, 0.3 ->
+    # 0.86 m/s, measured on the fused-kernel plant).
 
 
 def trot_cost(model, params: TrotCostParams, home_joint_qpos,
@@ -122,8 +129,9 @@ def trot_cost(model, params: TrotCostParams, home_joint_qpos,
         roll, pitch, yaw = spatial.euler_from_quat(quat)
         phase = 2.0 * jnp.pi * state.time / params.period_s
         s = jnp.sin(phase)
-        swingA = jnp.maximum(s, 0.0)   # pair A in swing
-        swingB = jnp.maximum(-s, 0.0)
+        sl = jnp.sin(phase + params.lift_phase)
+        swingA = jnp.maximum(sl, 0.0)   # pair A in swing
+        swingB = jnp.maximum(-sl, 0.0)
         swing = jnp.where(jnp.asarray(diag_sign) > 0, swingA, swingB)
         thigh_ref = home_j[thigh_idx] + thigh_dir * params.thigh_amp \
             * jnp.asarray(diag_sign) * s
@@ -185,8 +193,9 @@ def trot_cost_cmd(model, params: TrotCostParams, home_joint_qpos,
         scale = jnp.clip(speed / v_nom, 0.0, 1.5)
         phase = 2.0 * jnp.pi * state.time / params.period_s
         s = jnp.sin(phase)
-        swing = jnp.where(sign > 0, jnp.maximum(s, 0.0),
-                          jnp.maximum(-s, 0.0))
+        sl = jnp.sin(phase + params.lift_phase)
+        swing = jnp.where(sign > 0, jnp.maximum(sl, 0.0),
+                          jnp.maximum(-sl, 0.0))
         thigh_ref = home_j[thigh_idx] + thigh_dir * params.thigh_amp \
             * scale * sign * s
         knee_ref = home_j[knee_idx] \
@@ -240,8 +249,9 @@ def trot_gait_ref_cmd(model, params: TrotCostParams, home_joint_qpos,
         scale = jnp.clip(speed / v_nom, 0.0, 1.5)
         phase = 2.0 * jnp.pi * t / params.period_s
         s = jnp.sin(phase)
-        swing = jnp.where(sign > 0, jnp.maximum(s, 0.0),
-                          jnp.maximum(-s, 0.0))
+        sl = jnp.sin(phase + params.lift_phase)
+        swing = jnp.where(sign > 0, jnp.maximum(sl, 0.0),
+                          jnp.maximum(-sl, 0.0))
         joints_ref = home_j
         joints_ref = joints_ref.at[thigh_idx].set(
             home_j[thigh_idx]
@@ -439,8 +449,9 @@ def trot_gait_ref(model, params: TrotCostParams, home_joint_qpos,
     def u_ref(t):
         phase = 2.0 * jnp.pi * t / params.period_s
         s = jnp.sin(phase)
-        swing = jnp.where(sign > 0, jnp.maximum(s, 0.0),
-                          jnp.maximum(-s, 0.0))
+        sl = jnp.sin(phase + params.lift_phase)
+        swing = jnp.where(sign > 0, jnp.maximum(sl, 0.0),
+                          jnp.maximum(-sl, 0.0))
         joints_ref = home_j
         joints_ref = joints_ref.at[thigh_idx].set(
             home_j[thigh_idx] + thigh_dir * params.thigh_amp * sign * s)

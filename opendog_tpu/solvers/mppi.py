@@ -74,6 +74,8 @@ def make_solver(
     sample_axis: str = "mp",
     with_payload: bool = False,
     with_command: bool = False,
+    u_ref_fn: Optional[Callable] = None,
+    anchor_w: float = 0.0,
 ):
     """Build ``solve(physics_state, mppi_state, key) -> (ctrl, mppi_state',
     stats)``.  Jit (or vmap for batched scenarios) the returned function.
@@ -98,6 +100,21 @@ def make_solver(
     (WalkEnvironment.py:138-151).  Composable with ``with_payload``;
     argument order is ``solve(state, mppi, key[, payload][, command])``.
 
+    With ``u_ref_fn`` + ``anchor_w > 0`` the solve is ANCHORED to a
+    time-indexed action reference (e.g. ``costs.trot_gait_ref_cmd``):
+    every candidate plan pays ``anchor_w * sum_k ||u_k -
+    u_ref(t + k*dt)||^2`` on top of its rollout cost.  This prices the
+    solver's freedom to re-time the gait: a free receding-horizon expert
+    expresses its corrections through warm-started plan state that drifts
+    in phase from the reference, which makes its actions depend on hidden
+    history — measured |expert - u_ref| ~ the gait amplitude itself, an
+    unlearnable distillation target (the round-3/4 stand-collapse).
+    Anchored, the expert's actions stay near ``u_ref`` and its residual
+    is small, state-predictable feedback.  ``u_ref_fn`` is ``(t) ->
+    (nu,)`` or, with ``with_command=True``, ``(t, cmd) -> (nu,)``
+    (arity-detected).  ``anchor_w = 0`` (default) is the exact unanchored
+    solver.
+
     PERF: keep the receding-horizon loop ON-DEVICE (``lax.scan`` over
     ticks, as ``make_mpc(...).run`` does).  Feeding the returned
     ``MPPIState`` — a shard_map output committed to the mesh — back
@@ -113,6 +130,25 @@ def make_solver(
     rollout_model = (
         model.replace(timestep=config.rollout_dt) if config.rollout_dt else model
     )
+
+    anchored = u_ref_fn is not None and anchor_w > 0.0
+    if anchored:
+        import inspect
+
+        _ref_takes_cmd = len(inspect.signature(u_ref_fn).parameters) >= 2
+        if _ref_takes_cmd:
+            assert with_command, \
+                "command-indexed u_ref_fn needs with_command=True"
+
+    def _ref_seq(state: State, command) -> jax.Array:
+        """(H, nu) anchor targets: plan slot k applies from
+        ``state.time + k*dt_tick`` (same convention as the distiller's
+        ``label = expert - u_ref(state.time)`` at k = 0)."""
+        dt_tick = float(rollout_model.timestep) * config.n_substeps
+        ts = state.time + dt_tick * jnp.arange(H, dtype=jnp.float32)
+        if _ref_takes_cmd:
+            return jax.vmap(lambda t: u_ref_fn(t, command))(ts)
+        return jax.vmap(u_ref_fn)(ts)
 
     def _bind_cost(command):
         """step_cost with the runtime command bound (identity when the
@@ -229,13 +265,17 @@ def make_solver(
         return jnp.clip(nominal[None] + eps, lo, hi)
 
     def _rollout_costs(state: State, candidates: jax.Array,
-                       payload=None, command=None) -> jax.Array:
+                       payload=None, command=None,
+                       ref_seq=None) -> jax.Array:
         if config.engine == "pallas":
             costs = rollout_costs_pallas(state, candidates, payload,
                                          command)
         else:
             costs = jax.vmap(rollout_cost, in_axes=(None, 0, None))(
                 state, candidates, command)
+        if anchored:
+            costs = costs + anchor_w * jnp.sum(
+                jnp.square(candidates - ref_seq[None]), axis=(1, 2))
         # diverged candidate rollouts (coarse planning dt) must not poison
         # the softmax: treat non-finite costs as very bad, not NaN
         return jnp.where(jnp.isfinite(costs), costs, 1e9)
@@ -279,30 +319,35 @@ def make_solver(
         payload = aux[0] if with_payload else None
         command = aux[-1] if with_command else None
         keys = jax.random.split(key, K)
+        ref_seq = _ref_seq(state, command) if anchored else None
 
         if mesh is None:
             candidates = _sample_candidates(mppi.nominal, keys)
-            costs = _rollout_costs(state, candidates, payload, command)
+            costs = _rollout_costs(state, candidates, payload, command,
+                                   ref_seq)
             new_nominal, stats = _weighted_update(candidates, costs)
         else:
-            def shard_fn(st, nominal, keys_local, pl, cmd):
+            def shard_fn(st, nominal, keys_local, pl, cmd, ref):
                 cand = _sample_candidates(nominal, keys_local)
                 costs = _rollout_costs(
                     st, cand,
                     pl if with_payload else None,
-                    cmd if with_command else None)
+                    cmd if with_command else None,
+                    ref if anchored else None)
                 return _weighted_update(cand, costs, axis_name=sample_axis)
 
             pl_in = (jnp.float32(payload) if with_payload
                      else jnp.float32(0.0))
             cmd_in = (jnp.asarray(command, jnp.float32) if with_command
                       else jnp.zeros(1, jnp.float32))
+            ref_in = (ref_seq if anchored
+                      else jnp.zeros((H, nu), jnp.float32))
             new_nominal, stats = shard_map(
                 shard_fn, mesh=mesh,
-                in_specs=(P(), P(), P(sample_axis), P(), P()),
+                in_specs=(P(), P(), P(sample_axis), P(), P(), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(state, mppi.nominal, keys, pl_in, cmd_in)
+            )(state, mppi.nominal, keys, pl_in, cmd_in, ref_in)
 
         ctrl = new_nominal[0]
         # receding horizon: shift, repeat last

@@ -11,6 +11,16 @@ the student observes the command.  Mirrors the reference's per-reset
 randomized desired velocity (environments/WalkEnvironment.py:138-151) —
 which its fixed-gait students never actually learned to track.
 
+The decisive ingredient is the ANCHORED expert (``--anchor_w``): a free
+receding-horizon MPPI expresses its corrections through warm-started plan
+state that drifts in phase from the gait reference, so its labels
+(expert - u_ref) carry ~gait-amplitude hidden-state dependence no
+state-conditioned regressor can fit — v1-v4 of this script all collapsed
+to a standing student that way, with balanced mode allocation, the beta
+floor, and the quadrature lift timing each necessary but NOT sufficient.
+Anchoring prices that drift (mppi.make_solver(u_ref_fn=, anchor_w=)), so
+labels shrink to small state-predictable feedback.
+
 Proof: a student-only rollout over a fixed command grid — the SAME network
 must hold a stand (cmd 0), track multiple forward speeds, and turn to
 commanded headings.  Artifacts: runs/distill_cmd/{student.msgpack,
@@ -48,14 +58,15 @@ CURRICULUM = [
 
 
 def sample_commands(rng, S, frac, max_modes=None):
-    """Widening discrete curriculum: round fraction ``frac`` unlocks a
-    prefix of CURRICULUM; each scenario draws one unlocked mode + jitter
-    (stand/turn-in-place modes stay exact — vx jitter would make the
-    stand label ambiguous)."""
+    """Widening discrete curriculum with BALANCED mode allocation: round
+    fraction ``frac`` unlocks a prefix of CURRICULUM; the S scenarios are
+    split evenly across the unlocked modes (random draws measured to let
+    later rounds dilute the walking modes — the multi-mode student then
+    regresses to the stand attractor), plus jitter on the moving modes."""
     n_avail = 1 + int(round(frac * (len(CURRICULUM) - 1)))
     if max_modes is not None:
         n_avail = min(n_avail, max_modes)
-    modes = rng.integers(0, n_avail, S)
+    modes = (np.arange(S) * n_avail) // S  # balanced, deterministic
     vx = np.array([CURRICULUM[i][0] for i in modes])
     yaw = np.array([CURRICULUM[i][1] for i in modes])
     moving = vx > 0.0
@@ -75,6 +86,11 @@ def main():
     ap.add_argument("--max_modes", type=int, default=None,
                     help="clamp the curriculum to its first N modes "
                          "(bisection/debug)")
+    ap.add_argument("--anchor_w", type=float, default=15.0,
+                    help="expert anchor weight: prices the MPPI expert's "
+                         "plan deviation from u_ref(t, cmd) so labels "
+                         "stay small + state-predictable (0 = free "
+                         "expert, the measured stand-collapse)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +123,9 @@ def main():
     init, round_fn, eval_fn, collect, train_on = make_distiller(
         m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
         plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True,
-        command_dim=3)
+        command_dim=3, anchor_w=args.anchor_w)
+    setup = setup._replace(recipe=dict(setup.recipe,
+                                       anchor_w=float(args.anchor_w)))
 
     s0 = make_state(m, "home")
     hold = jnp.asarray(np.clip(np.asarray(m.key_ctrl[0], np.float32),
@@ -138,7 +156,10 @@ def main():
     loss = float("nan")
     for r in range(args.rounds):
         frac = r / max(1, args.rounds - 1)
-        beta = dcfg.beta_decay ** r
+        # beta floor keeps the expert driving >=20% of ticks forever: pure
+        # student-driven late rounds fill the buffer with recovery labels
+        # around non-walking states and swamp the gait data
+        beta = max(0.2, dcfg.beta_decay ** r)
         cmds = jnp.asarray(sample_commands(rng, S, frac, args.max_modes))
         mstates = jax.vmap(lambda _: mppi_mod.init_state(m, mcfg))(
             jnp.arange(S))

@@ -89,6 +89,78 @@ def test_with_command_sharded_matches_single_device(devices8):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_anchored_solver_pulls_ctrl_toward_uref():
+    """u_ref_fn + anchor_w prices plan deviation from the time-indexed
+    gait reference: with a dominant anchor weight the solved action sits
+    near u_ref(t0); with anchor_w = 0 the solver is exactly the plain
+    one (pinned recipes stay bit-valid)."""
+    m, home_j, cost = _setup()
+    pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                              target_height=0.265)
+    uref = costs.trot_gait_ref_cmd(m, pc, home_j, legs="go1")
+    cfg = MPPIConfig(horizon=4, num_samples=64, n_substeps=1,
+                     rollout_dt=0.01, engine="xla")
+    s0 = make_state(m, "home")
+    ms = mppi.init_state(m, cfg)
+    k = jax.random.PRNGKey(0)
+    cmd = jnp.array([0.5, 0.0, 0.0])
+    plain = jax.jit(mppi.make_solver(m, cost, cfg, with_command=True))
+    hard = jax.jit(mppi.make_solver(m, cost, cfg, with_command=True,
+                                    u_ref_fn=uref, anchor_w=1e4))
+
+    def iterate(solve, n=25):
+        # candidates sample around the warm-started nominal (init = home
+        # ctrl), so the anchor pulls the plan toward the reference over
+        # REPEATED solves; advance time with the receding shift so the
+        # warm start stays aligned with the time-indexed reference
+        st, key = ms, k
+        for i in range(n):
+            key, sub = jax.random.split(key)
+            s_t = State(qpos=s0.qpos, qvel=s0.qvel,
+                        time=jnp.float32(i * 0.01))
+            c, st, _ = solve(s_t, st, sub, cmd)
+        return c, s_t.time
+
+    c_plain, t_last = iterate(plain)
+    c_hard, _ = iterate(hard)
+    ref_last = uref(t_last, cmd)
+    # dominant anchor: solved action converges onto the reference (up to
+    # best-candidate sampling noise); the free solve settles wherever its
+    # rollout cost prefers
+    d_hard = float(jnp.abs(c_hard - ref_last).mean())
+    d_plain = float(jnp.abs(c_plain - ref_last).mean())
+    assert d_hard < 0.5 * d_plain
+    assert d_hard < 0.06
+    # anchor_w = 0 with a u_ref_fn is the exact plain solver
+    c_plain1, _, _ = plain(s0, ms, k, cmd)
+    off = jax.jit(mppi.make_solver(m, cost, cfg, with_command=True,
+                                   u_ref_fn=uref, anchor_w=0.0))
+    c_off, _, _ = off(s0, ms, k, cmd)
+    np.testing.assert_array_equal(np.asarray(c_off), np.asarray(c_plain1))
+
+
+def test_anchored_sharded_matches_single_device(devices8):
+    m, home_j, cost = _setup()
+    pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
+                              target_height=0.265)
+    uref = costs.trot_gait_ref_cmd(m, pc, home_j, legs="go1")
+    cfg = MPPIConfig(horizon=3, num_samples=16, n_substeps=1,
+                     rollout_dt=0.01, engine="xla")
+    s0 = make_state(m, "home")
+    ms = mppi.init_state(m, cfg)
+    k = jax.random.PRNGKey(3)
+    cmd = jnp.array([0.3, 0.0, 0.2])
+    c1, _, _ = jax.jit(mppi.make_solver(
+        m, cost, cfg, with_command=True, u_ref_fn=uref, anchor_w=3.0))(
+        s0, ms, k, cmd)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("mp",))
+    cN, _, _ = jax.jit(mppi.make_solver(
+        m, cost, cfg, mesh=mesh, with_command=True, u_ref_fn=uref,
+        anchor_w=3.0))(s0, ms, k, cmd)
+    np.testing.assert_allclose(np.asarray(cN), np.asarray(c1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_distiller_command_dim_round_and_eval():
     from opendog_tpu.rl.distill import DistillConfig, make_distiller
     from opendog_tpu.rl.networks import MLPActorCritic
