@@ -130,10 +130,15 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
         # already tracking the commanded speed open-loop, the expert's
         # labels are small stabilizing residuals — the regression target
         # the stand-collapsed v1-v4 students never had.
+        # w_heading raised 6 -> 15: the anchored expert (anchor_w ~15)
+        # otherwise under-steers — the corrective stride asymmetry pays
+        # the anchor price, and the v6 student trotted straight commands
+        # with a systematic -0.27 rad yaw drift it never learned to close
         pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
                                   target_height=0.265,
                                   lift_phase=float(np.pi / 2),
-                                  thigh_amp=0.19)
+                                  thigh_amp=0.19,
+                                  w_heading=15.0)
         home_j = np.asarray(base.model.key_qpos[0])[7:]
     else:
         raise ValueError("command-conditioned zoo setup wired for go1")

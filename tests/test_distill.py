@@ -182,3 +182,61 @@ def test_committed_student_recipe_matches_zoo_defaults():
         checked += 1
     if not checked:
         pytest.skip("no committed artifacts carry a recipe yet")
+
+
+def test_committed_cmd_student_recipe_matches_zoo_defaults():
+    """Same pin for the command-conditioned student (runs/distill_cmd):
+    its recipe is cmd_distill_setup's plus the script-recorded anchor_w
+    (scripts/distill_cmd.py)."""
+    import json
+    import os
+
+    import pytest
+
+    from opendog_tpu.rl.distill_zoo import cmd_distill_setup
+
+    path = os.path.join(os.path.dirname(__file__), "..", "runs",
+                        "distill_cmd", "metrics.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed command-student artifact")
+    with open(path) as f:
+        rec = json.load(f)["recipe"]
+    anchor_w = rec.get("anchor_w")
+    assert anchor_w is not None, "cmd artifact must record anchor_w"
+    current = dict(cmd_distill_setup("go1").recipe, anchor_w=anchor_w)
+    assert rec == current, (
+        "runs/distill_cmd was trained with a different recipe than the "
+        f"current zoo defaults — retrain or restore:\n"
+        f"artifact: {rec}\ncurrent:  {current}")
+
+
+def test_committed_cmd_student_deploys():
+    """The committed command-conditioned student restores through
+    load_student(command_dim=3) and emits finite in-range actions that
+    RESPOND to the command (stand vs trot differ)."""
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from opendog_tpu.rl.distill_zoo import cmd_distill_setup, load_student
+
+    path = os.path.join(os.path.dirname(__file__), "..", "runs",
+                        "distill_cmd", "student.msgpack")
+    if not os.path.exists(path):
+        pytest.skip("no committed command-student artifact")
+    setup = cmd_distill_setup("go1")
+    m = setup.model
+    policy = load_student(path, setup, command_dim=3)
+    qpos = jnp.asarray(m.key_qpos[0])
+    qvel = jnp.zeros(m.nv)
+    prev = jnp.asarray(m.key_ctrl[0])
+    lo, hi = np.asarray(m.actuator_ctrlrange).T
+    u_stand = np.asarray(policy(qpos, qvel, 0.1, prev, jnp.zeros(3)))
+    u_trot = np.asarray(policy(qpos, qvel, 0.1, prev,
+                               jnp.array([0.5, 0.0, 0.0])))
+    for u in (u_stand, u_trot):
+        assert np.isfinite(u).all()
+        assert (u >= lo - 1e-6).all() and (u <= hi + 1e-6).all()
+    assert np.abs(u_stand - u_trot).max() > 0.02
