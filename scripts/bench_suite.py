@@ -285,8 +285,12 @@ def main():
         sched = costs.trot_schedule(pc, legs="go1")
         cost = costs.contact_schedule_cost(m, sched, pc, home_j,
                                            legs="go1")
+        # iterations=6: at 4 the solve is under-converged and the plan
+        # error accumulates — the trot sinks and collapses by cycle ~5
+        # (TPU) / ~7 (CPU); at 6 it holds z >= 0.19 for 10+ cycles
+        # (measured, .scratch/ilqr3b_fix.log method)
         icfg = ILQRConfig(horizon=25, n_substeps=2, rollout_dt=0.01,
-                          iterations=4)
+                          iterations=6)
         cycle = jax.jit(make_ilqr_tracker(m, cost, icfg, track_ticks=25,
                                           plant_substeps=10))
         s = make_state(m, "home")
@@ -296,7 +300,7 @@ def main():
         U = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (icfg.horizon, 1))
         plant, U, traj = cycle(s, U); fetch(traj["qpos"])
         x0 = float(np.asarray(plant.qpos)[0])
-        n_cycles = 4
+        n_cycles = 7
         t0 = time.time()
         for _ in range(n_cycles):
             plant, U, traj = cycle(plant, U)
