@@ -327,8 +327,12 @@ def make_ilqr_tracker(
         def track(carry, t):
             st = carry
             x = jnp.concatenate([st.qpos, st.qvel])
-            u = jnp.clip(U[t] + K_fb[t] @ (x - X[t]), lo, hi)
             with jax.default_matmul_precision("highest"):
+                # the feedback matvec must be guarded too: default MXU
+                # rounding in the CONTROL (not just the physics) is enough
+                # to push the marginally-damped gait off the CPU-f32
+                # trajectory (docs/PRECISION.md failure class)
+                u = jnp.clip(U[t] + K_fb[t] @ (x - X[t]), lo, hi)
                 st2, _ = dynamics.step(model, st, u, terrain,
                                        n_substeps=plant_substeps)
             return st2, dict(qpos=st2.qpos, ctrl=u)
