@@ -96,6 +96,21 @@ class TrotCostParams(NamedTuple):
     # thigh TRANSITIONS (velocity max) — open-loop forward walk whose
     # speed scales with thigh_amp (go1: amp 0.2 -> 0.52 m/s, 0.3 ->
     # 0.86 m/s, measured on the fused-kernel plant).
+    amp_v0: float = -1.0       # calibrated speed->amplitude law offset.
+    # < 0 (default) keeps the legacy LINEAR command scale
+    # (speed / |desired_vel_xy|), which under-strides slow commands: the
+    # measured open-loop law on go1 (quadrature lift) is
+    # v = 3.4*amp - 0.16, i.e. amplitude has a nonzero-speed intercept.
+    # >= 0 enables scale = clip((v + amp_v0) / (v_nom + amp_v0), 0, 1.5)
+    # * min(v / 0.1, 1) — affine law matching the measurement (amp_v0 =
+    # 0.16), with the second factor gating smoothly to an exact stand.
+    turn_gain: float = 0.0     # differential-stride steering gain.
+    # > 0 adds a per-side stride asymmetry d = clip(turn_gain * dyaw,
+    # -0.5, 0.5): legs on the turn's inside stride less (backwards at a
+    # stand), the outside more — differential drive.  The COST computes
+    # dyaw from the actual yaw (wrap(yaw_target - yaw): steering fades as
+    # the heading closes); the open-loop u_ref uses dyaw = yaw_target
+    # (it cannot see the state — the residual learns to cancel it).
 
 
 def trot_cost(model, params: TrotCostParams, home_joint_qpos,
@@ -185,21 +200,24 @@ def trot_cost_cmd(model, params: TrotCostParams, home_joint_qpos,
     sign = jnp.asarray(diag_sign)
     v_nom = max(1e-6, float(np.hypot(*params.desired_vel_xy)))
 
+    side = _side_signs(legs)
+
     def step_cost(state: State, ctrl, prev_ctrl, cmd):
         qpos, qvel = state.qpos, state.qvel
         roll, pitch, yaw = spatial.euler_from_quat(qpos[3:7])
-        # gait amplitude scales with commanded speed (0 -> stand)
-        speed = jnp.sqrt(jnp.sum(jnp.square(cmd[:2])) + 1e-12)
-        scale = jnp.clip(speed / v_nom, 0.0, 1.5)
+        # per-leg gait amplitude: commanded-speed scale (0 -> stand) plus
+        # the differential-steering asymmetry (turn_gain, closes on the
+        # ACTUAL heading error here)
+        s_leg = _cmd_stride_scales(params, v_nom, side, cmd, yaw)
         phase = 2.0 * jnp.pi * state.time / params.period_s
         s = jnp.sin(phase)
         sl = jnp.sin(phase + params.lift_phase)
         swing = jnp.where(sign > 0, jnp.maximum(sl, 0.0),
                           jnp.maximum(-sl, 0.0))
         thigh_ref = home_j[thigh_idx] + thigh_dir * params.thigh_amp \
-            * scale * sign * s
+            * s_leg * sign * s
         knee_ref = home_j[knee_idx] \
-            + knee_dir * params.knee_lift * scale * swing
+            + knee_dir * params.knee_lift * jnp.abs(s_leg) * swing
         joints = qpos[7:]
         c_gait = params.w_gait * (
             jnp.sum(jnp.square(joints[thigh_idx] - thigh_ref))
@@ -217,6 +235,40 @@ def trot_cost_cmd(model, params: TrotCostParams, home_joint_qpos,
                 + c_rate)
 
     return step_cost
+
+
+def _cmd_stride_scales(params: TrotCostParams, v_nom: float, side,
+                       cmd, yaw=None):
+    """(4,) per-leg stride scales for the command-conditioned gait.
+
+    Forward component: the legacy linear command scale, or (``amp_v0 >=
+    0``) the calibrated affine amp law with a smooth stand gate.
+    Steering component (``turn_gain > 0``): differential stride ``side *
+    d`` — at a stand the legs stride in opposition and the robot turns in
+    place.  ``yaw=None`` is the open-loop (u_ref) form: the heading error
+    is taken as the commanded target itself."""
+    speed = jnp.sqrt(jnp.sum(jnp.square(cmd[:2])) + 1e-12)
+    if params.amp_v0 >= 0.0:
+        scale = jnp.clip((speed + params.amp_v0)
+                         / (v_nom + params.amp_v0), 0.0, 1.5) \
+            * jnp.minimum(speed / 0.1, 1.0)
+    else:
+        scale = jnp.clip(speed / v_nom, 0.0, 1.5)
+    s_leg = scale * jnp.ones_like(side)
+    if params.turn_gain > 0.0:
+        dyaw = (cmd[2] if yaw is None else
+                jnp.arctan2(jnp.sin(cmd[2] - yaw), jnp.cos(cmd[2] - yaw)))
+        d = jnp.clip(params.turn_gain * dyaw, -0.5, 0.5)
+        s_leg = s_leg + side * d
+    return s_leg
+
+
+def _side_signs(legs: str):
+    """+1 for legs on the robot's RIGHT (y < 0), -1 for LEFT: a positive
+    differential strides the right side longer -> turns LEFT (+yaw)."""
+    if legs == "go1":       # FR, FL, RR, RL
+        return jnp.asarray([1.0, -1.0, 1.0, -1.0])
+    return jnp.asarray([-1.0, 1.0, -1.0, 1.0])  # opendog: FL, FR, BL, BR
 
 
 def trot_gait_ref_cmd(model, params: TrotCostParams, home_joint_qpos,
@@ -244,9 +296,10 @@ def trot_gait_ref_cmd(model, params: TrotCostParams, home_joint_qpos,
     sign = jnp.asarray(diag_sign)
     v_nom = max(1e-6, float(np.hypot(*params.desired_vel_xy)))
 
+    side = _side_signs(legs)
+
     def u_ref(t, cmd):
-        speed = jnp.sqrt(jnp.sum(jnp.square(cmd[:2])) + 1e-12)
-        scale = jnp.clip(speed / v_nom, 0.0, 1.5)
+        s_leg = _cmd_stride_scales(params, v_nom, side, cmd, yaw=None)
         phase = 2.0 * jnp.pi * t / params.period_s
         s = jnp.sin(phase)
         sl = jnp.sin(phase + params.lift_phase)
@@ -255,9 +308,10 @@ def trot_gait_ref_cmd(model, params: TrotCostParams, home_joint_qpos,
         joints_ref = home_j
         joints_ref = joints_ref.at[thigh_idx].set(
             home_j[thigh_idx]
-            + thigh_dir * params.thigh_amp * scale * sign * s)
+            + thigh_dir * params.thigh_amp * s_leg * sign * s)
         joints_ref = joints_ref.at[knee_idx].set(
-            home_j[knee_idx] + knee_dir * params.knee_lift * scale * swing)
+            home_j[knee_idx]
+            + knee_dir * params.knee_lift * jnp.abs(s_leg) * swing)
         return joints_ref[qadr]
 
     return u_ref

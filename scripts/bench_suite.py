@@ -302,20 +302,31 @@ def main():
         x0 = float(np.asarray(plant.qpos)[0])
         n_cycles = 7
         t0 = time.time()
+        trajs = []
         for _ in range(n_cycles):
             plant, U, traj = cycle(plant, U)
+            trajs.append(traj["qpos"])
         fetch(traj["qpos"])
         dt = time.time() - t0
         q = np.asarray(plant.qpos)
         dist = float(q[0]) - x0
+        # health is judged over the WHOLE trotting trajectory, not one
+        # end-instant sample: z oscillates each stride, so the statistics
+        # are min over all ticks (no belly-flop) and mean over the final
+        # cycle (still carrying itself at the end)
+        zs = np.concatenate([np.asarray(t)[:, 2] for t in trajs])
+        z_last = np.asarray(trajs[-1])[:, 2]
         record("3b_scheduled_ilqr_trot",
                cycle_seconds=round(dt / n_cycles, 3),
                realtime_factor=round(0.5 / (dt / n_cycles), 2),
                distance_m=round(dist, 3),
                mean_speed_mps=round(dist / (0.5 * n_cycles), 3),
                locomotes=bool(dist > 0.1),
-               trunk_z=round(float(q[2]), 3),
-               healthy=bool(0.15 < q[2] < 0.4))
+               trunk_z_min=round(float(zs.min()), 3),
+               trunk_z_last_cycle_mean=round(float(z_last.mean()), 3),
+               trunk_z_final=round(float(q[2]), 3),
+               healthy=bool(zs.min() > 0.12
+                            and 0.18 < z_last.mean() < 0.4))
 
     # ---- config 4: 4096 domain-randomized rollouts on one chip ----
     if "4" not in args.skip:
