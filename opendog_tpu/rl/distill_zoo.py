@@ -133,12 +133,20 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
         # w_heading raised 6 -> 15: the anchored expert (anchor_w ~15)
         # otherwise under-steers — the corrective stride asymmetry pays
         # the anchor price, and the v6 student trotted straight commands
-        # with a systematic -0.27 rad yaw drift it never learned to close
+        # with a systematic -0.27 rad yaw drift it never learned to close.
+        # amp_v0 = 0.16: calibrated speed->amplitude law — the legacy
+        # linear scale under-strides slow commands (cmd 0.25 open-loop
+        # walked ~0.1 m/s; calibrated: 0.236).  turn_gain = 1.2:
+        # differential-stride steering, turns in place ~0.45 rad / 6 s
+        # open-loop and steers while trotting (both measured on the
+        # op-graph plant).
         pc = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0),
                                   target_height=0.265,
                                   lift_phase=float(np.pi / 2),
                                   thigh_amp=0.19,
-                                  w_heading=15.0)
+                                  w_heading=15.0,
+                                  amp_v0=0.16,
+                                  turn_gain=1.2)
         home_j = np.asarray(base.model.key_qpos[0])[7:]
     else:
         raise ValueError("command-conditioned zoo setup wired for go1")
