@@ -343,7 +343,7 @@ def make_ilqr(
         else backward_scan
     )
 
-    def solve(state: State, U_init: jax.Array):
+    def _solve(state: State, U_init: jax.Array):
         x0 = pack(state.qpos, state.qvel)
         # stage times along the horizon: phase-indexed costs bind here
         times = state.time + stage_dt * jnp.arange(
@@ -391,5 +391,16 @@ def make_ilqr(
         )
         return U, X, dict(cost=cost, initial_cost=cost0,
                           cost_trace=cost_trace, k_ff=k_ff, K_fb=K_fb)
+
+    def solve(state: State, U_init: jax.Array):
+        # ALL solver linear algebra under the configured precision, not
+        # just the dynamics einsums: the Riccati recursion's nx x nx
+        # products (A^T Vxx A, ...) accumulate over the horizon, and
+        # default MXU rounding there is enough to push a marginally
+        # damped gait onto a diverging trajectory (bench config 3b walked
+        # healthy on CPU f32 but belly-flopped mid-run on TPU with only
+        # the dynamics guarded)
+        with jax.default_matmul_precision(config.precision):
+            return _solve(state, U_init)
 
     return solve

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Command-switching soak of the committed command-conditioned student
+(runs/distill_cmd): ONE network drives the go1 plant through a schedule of
+velocity/heading commands — walk, stand, slow trot, turn, fast trot — for
+minutes of sim time, entirely on-device.
+
+This is the deployment-shaped proof for BASELINE config 5: the reference's
+on-robot loop switches gaits by swapping scripted tables
+(Code/examples/udp_walk.py); here one policy serves every mode and the
+transition, conditioned on the command vector.
+
+Writes <out>/soak.json with per-segment tracking + whole-run health.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+# absolute (vx, vy, yaw_target) per 10 s segment — covers every curriculum
+# mode plus transitions (stand -> fast, turn -> counter-turn)
+SCHEDULE = [
+    [0.5, 0.0, 0.0],
+    [0.0, 0.0, 0.0],
+    [0.25, 0.0, 0.0],
+    [0.3, 0.0, 0.4],
+    [0.6, 0.0, 0.4],    # keep heading while speeding up
+    [0.0, 0.0, 0.0],    # stop from speed
+    [0.0, 0.0, 0.5],    # turn in place
+    [0.3, 0.0, -0.4],   # counter-turn while trotting
+    [0.5, 0.0, -0.4],
+    [0.25, 0.0, 0.0],   # slow home stretch
+    [0.0, 0.0, 0.0],
+    [0.5, 0.0, 0.0],
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--student", default="runs/distill_cmd/student.msgpack")
+    ap.add_argument("--out", default="runs/distill_cmd")
+    ap.add_argument("--segment_ticks", type=int, default=500)  # 10 s
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from opendog_tpu.physics import State, make_state, spatial
+    from opendog_tpu.physics import dynamics as _dyn
+    from opendog_tpu.rl.distill_zoo import cmd_distill_setup, load_student
+
+    engine = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if args.smoke:
+        args.segment_ticks = 5
+    setup = cmd_distill_setup("go1", engine=engine)
+    m = setup.model
+    policy = load_student(args.student, setup, command_dim=3)
+    z_lo, z_hi = setup.z_band
+
+    seg = args.segment_ticks
+    cmds_np = np.repeat(np.asarray(SCHEDULE, np.float32), seg, axis=0)
+    T = cmds_np.shape[0]
+    cmds = jnp.asarray(cmds_np)
+
+    if engine == "pallas":
+        from opendog_tpu.ops.pallas_step import build_pallas_substep
+
+        psub = build_pallas_substep(m, float(m.timestep), k_tile=1,
+                                    n_substeps=10)
+
+        def plant_step(st, u):
+            qp, qv = psub(st.qpos[:, None], st.qvel[:, None], u[:, None])
+            return State(qpos=qp[:, 0], qvel=qv[:, 0],
+                         time=st.time + 10 * float(m.timestep))
+    else:
+
+        def plant_step(st, u):
+            st2, _ = _dyn.step(m, st, u, None, n_substeps=10)
+            return st2
+
+    home_ctrl = jnp.asarray(np.clip(
+        np.asarray(m.key_ctrl[0], np.float32),
+        np.asarray(m.actuator_ctrlrange)[:, 0],
+        np.asarray(m.actuator_ctrlrange)[:, 1]))
+
+    def run(st):
+        def tick(carry, cmd):
+            st, prev = carry
+            u = policy(st.qpos, st.qvel, st.time, prev, cmd)
+            st = plant_step(st, u)
+            return (st, u), (st.qpos[:3], st.qpos[3:7])
+        (st, _), (xyz, quat) = jax.lax.scan(tick, (st, home_ctrl), cmds)
+        return st, xyz, quat
+
+    s0 = make_state(m, "home")
+    s0, _ = jax.jit(lambda s: _dyn.step(m, s, home_ctrl, None,
+                                        n_substeps=150))(s0)
+    s0 = State(qpos=s0.qpos, qvel=s0.qvel * 0.0, time=jnp.zeros(()))
+
+    t0 = time.time()
+    stf, xyz, quat = jax.jit(run)(s0)
+    xyz = np.asarray(xyz)          # (T, 3)
+    quat = np.asarray(quat)        # (T, 4)
+    wall = time.time() - t0
+
+    import jax.numpy as _j
+    yaws = np.asarray(jax.vmap(
+        lambda q: spatial.euler_from_quat(q)[2])(_j.asarray(quat)))
+    zs = xyz[:, 2]
+    segs = []
+    for i, c in enumerate(SCHEDULE):
+        a, b = i * seg, (i + 1) * seg
+        half = a + (b - a) // 2
+        dx = xyz[b - 1, 0] - xyz[half, 0]
+        dy = xyz[b - 1, 1] - xyz[half, 1]
+        dt = (b - 1 - half) * 0.02
+        vx_h = (dx * np.cos(c[2]) + dy * np.sin(c[2])) / max(dt, 1e-6)
+        yaw_end = float(yaws[b - 1])
+        segs.append(dict(
+            cmd=c,
+            mean_vx_cmd_frame=round(float(vx_h), 3),
+            vx_err=round(float(abs(vx_h - c[0])), 3),
+            yaw_end=round(yaw_end, 3),
+            yaw_err=round(float(abs(np.arctan2(
+                np.sin(yaw_end - c[2]), np.cos(yaw_end - c[2])))), 3),
+            z_min=round(float(zs[a:b].min()), 3),
+        ))
+    tracked = sum(1 for s in segs
+                  if (s["cmd"][0] == 0.0 or s["vx_err"] < 0.15)
+                  and s["yaw_err"] < 0.25)
+    res = dict(
+        ticks=T,
+        sim_minutes=round(T * 0.02 / 60.0, 2),
+        segments=segs,
+        segments_tracked=tracked,
+        segments_total=len(segs),
+        upright_all=bool((zs > z_lo).all() and (zs < z_hi).all()),
+        all_finite=bool(np.isfinite(xyz).all()),
+        final_xy=[round(float(v), 3) for v in xyz[-1, :2]],
+        engine=engine,
+        wall_s=round(wall, 1),
+    )
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "soak.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps({k: v for k, v in res.items() if k != "segments"}),
+          flush=True)
+    for s in segs:
+        print(json.dumps(s), flush=True)
+
+
+if __name__ == "__main__":
+    main()
