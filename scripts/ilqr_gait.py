@@ -51,8 +51,11 @@ def main(argv=None):
         sched = costs.trot_schedule(pc, legs="go1")
         cost = costs.contact_schedule_cost(m, sched, pc, home_j,
                                            legs="go1")
+        # iterations=6: 4 is under-converged — plan error accumulates and
+        # the trot collapses by cycle ~7 (the bench-3b diagnosis); 6 holds
+        # trunk height for 10+ cycles on CPU f32
         icfg = ILQRConfig(horizon=25, n_substeps=2, rollout_dt=0.01,
-                          iterations=4)
+                          iterations=6)
         cycle = jax.jit(make_ilqr_tracker(m, cost, icfg, track_ticks=25,
                                           plant_substeps=10))
         s = make_state(m, "home")
