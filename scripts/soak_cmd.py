@@ -19,7 +19,11 @@ import time
 import numpy as np
 
 # absolute (vx, vy, yaw_target) per 10 s segment — covers every curriculum
-# mode plus transitions (stand -> fast, turn -> counter-turn)
+# mode plus transitions (stand -> fast, turn -> counter-turn) and, in the
+# second half, probes BETWEEN the curriculum mode centers (modes are
+# 0/0.25/0.3/0.5/0.6 m/s and yaw 0/0.2/±0.4/0.5, each jittered ±0.05 in
+# training, so 0.35/0.45 m/s and yaw ±0.25 sit at or beyond the sampled
+# envelope — a command-space density test, not pure extrapolation)
 SCHEDULE = [
     [0.5, 0.0, 0.0],
     [0.0, 0.0, 0.0],
@@ -33,6 +37,14 @@ SCHEDULE = [
     [0.25, 0.0, 0.0],   # slow home stretch
     [0.0, 0.0, 0.0],
     [0.5, 0.0, 0.0],
+    # ---- interpolation probes (off the training grid) ----
+    [0.35, 0.0, 0.0],
+    [0.45, 0.0, 0.0],
+    [0.35, 0.0, 0.25],
+    [0.45, 0.0, -0.25],
+    [0.0, 0.0, 0.25],   # gentle turn in place
+    [0.55, 0.0, 0.0],
+    [0.0, 0.0, 0.0],
 ]
 
 
