@@ -79,3 +79,17 @@ def test_opendog_walk_sweep_smoke(tmp_path):
     assert res["metric"] == "opendog_walk_sweep"
     assert res["best"]["fell"] is False
     assert res["best_final_x"] > 0.0
+
+
+def test_soak_cmd_smoke(tmp_path):
+    """Command-switching soak of the committed student (scripts/
+    soak_cmd.py): the deploy path (load_student + plant) must stay
+    runnable and finite at tiny scale."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "soak_cmd.py"),
+         "--smoke", "--out", str(tmp_path)],
+        env=ENV, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(os.path.join(tmp_path, "soak.json")))
+    assert res["all_finite"]
+    assert res["segments_total"] == 19
