@@ -173,11 +173,10 @@ def make_distiller(
 
     # action_ref_fn may be (t) -> u_ref or, for command-conditioned
     # distillation, (t, cmd) -> u_ref (the command-scaled gait reference,
-    # costs.trot_gait_ref_cmd) — detected by arity
-    import inspect
+    # costs.trot_gait_ref_cmd) — detected by the shared arity convention
+    from ..solvers.costs import ref_takes_cmd as _arity
 
-    ref_takes_cmd = (action_ref_fn is not None and
-                     len(inspect.signature(action_ref_fn).parameters) >= 2)
+    ref_takes_cmd = action_ref_fn is not None and _arity(action_ref_fn)
     if ref_takes_cmd:
         assert use_command, "command-scaled u_ref needs command_dim > 0"
 

@@ -184,9 +184,7 @@ def load_student(path: str, setup: TrotDistillSetup, command_dim: int = 0):
         params = serialization.from_bytes(jax.device_get(template),
                                           f.read())
 
-    import inspect
-
-    ref_takes_cmd = len(inspect.signature(setup.u_ref).parameters) >= 2
+    ref_takes_cmd = costs.ref_takes_cmd(setup.u_ref)
 
     def policy(qpos, qvel, t, prev_ctrl, cmd=None):
         obs = setup.obs_fn(qpos, qvel, t)

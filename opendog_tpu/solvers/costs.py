@@ -237,6 +237,17 @@ def trot_cost_cmd(model, params: TrotCostParams, home_joint_qpos,
     return step_cost
 
 
+def ref_takes_cmd(u_ref_fn) -> bool:
+    """True if an action reference is command-indexed — ``(t, cmd) ->
+    (nu,)`` (e.g. :func:`trot_gait_ref_cmd`) rather than ``(t) -> (nu,)``
+    (:func:`trot_gait_ref`).  THE one arity convention shared by the
+    anchored solver (mppi.make_solver), the distiller (rl/distill.py) and
+    student deployment (rl/distill_zoo.load_student)."""
+    import inspect
+
+    return len(inspect.signature(u_ref_fn).parameters) >= 2
+
+
 def _cmd_stride_scales(params: TrotCostParams, v_nom: float, side,
                        cmd, yaw=None):
     """(4,) per-leg stride scales for the command-conditioned gait.

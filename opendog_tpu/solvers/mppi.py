@@ -133,9 +133,9 @@ def make_solver(
 
     anchored = u_ref_fn is not None and anchor_w > 0.0
     if anchored:
-        import inspect
+        from .costs import ref_takes_cmd
 
-        _ref_takes_cmd = len(inspect.signature(u_ref_fn).parameters) >= 2
+        _ref_takes_cmd = ref_takes_cmd(u_ref_fn)
         if _ref_takes_cmd:
             assert with_command, \
                 "command-indexed u_ref_fn needs with_command=True"

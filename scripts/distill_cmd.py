@@ -188,34 +188,36 @@ def main():
     loss = float(loss)
     print(f"final fit loss {loss:.4f}", flush=True)
 
+    # save the student BEFORE the eval: hours of training must not be
+    # lost to an eval-stage crash
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "student.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(dstate.params)))
+
     print("student-only eval over the command grid...", flush=True)
-    eval_cmds = jnp.asarray(np.asarray(EVAL_CMDS[:S], np.float32))
+    # cycle the grid if S != len(EVAL_CMDS): eval_fn vmaps over exactly S
+    # scenarios, so the command rows must match that width
+    eval_cmds = jnp.asarray(np.asarray(
+        [EVAL_CMDS[i % len(EVAL_CMDS)] for i in range(S)], np.float32))
     out = jax.jit(eval_fn, static_argnums=2)(
         dstate, plants0, args.eval_ticks, None, eval_cmds)
     qpos_traj = np.asarray(out["qpos_traj"])      # (T, S, nq)
     z = qpos_traj[:, :, 2]
     upright = ((z > z_band[0]) & (z < z_band[1])).all(axis=0)
-    T = qpos_traj.shape[0]
-    half = T // 2
-    # mean forward speed over the second half (transient settled), in the
-    # ROBOT's commanded heading frame
+    from opendog_tpu.utils.cmd_tracking import segment_record
+
+    # heading-frame speed + wrapped yaw error via the shared helper so
+    # "tracked" measures the same geometry as the soak (soak_cmd.py)
     per = []
-    for i, c in enumerate(np.asarray(eval_cmds)):
-        dx = qpos_traj[-1, i, 0] - qpos_traj[half, i, 0]
-        dy = qpos_traj[-1, i, 1] - qpos_traj[half, i, 1]
-        dt = (T - half) * 0.02
-        vx_h = (dx * np.cos(c[2]) + dy * np.sin(c[2])) / dt
+    # first occurrence of each grid row only (rows repeat when S > grid)
+    for i, c in list(enumerate(np.asarray(eval_cmds)))[:len(EVAL_CMDS)]:
         quat = qpos_traj[-1, i, 3:7]
         yaw = float(np.asarray(spatial.euler_from_quat(jnp.asarray(quat)))[2])
-        per.append(dict(
-            cmd=[round(float(v), 2) for v in c],
-            mean_vx=round(float(vx_h), 3),
-            vx_err=round(float(abs(vx_h - c[0])), 3),
-            final_yaw=round(yaw, 3),
-            yaw_err=round(float(abs(np.arctan2(np.sin(yaw - c[2]),
-                                               np.cos(yaw - c[2])))), 3),
-            upright=bool(upright[i]),
-        ))
+        rec = segment_record(qpos_traj[:, i, :2], yaw, c)
+        rec["mean_vx"] = rec.pop("mean_vx_cmd_frame")   # artifact schema
+        rec["final_yaw"] = rec.pop("yaw_end")
+        rec["upright"] = bool(upright[i])
+        per.append(rec)
         print(json.dumps(per[-1]), flush=True)
     speeds_tracked = sum(
         1 for p in per
@@ -240,11 +242,8 @@ def main():
         wall_s=round(time.time() - t0, 1),
         recipe=setup.recipe,
     )
-    os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(res, f, indent=2)
-    with open(os.path.join(args.out, "student.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(dstate.params)))
     print(json.dumps({k: v for k, v in res.items() if k != "per_command"}),
           flush=True)
 

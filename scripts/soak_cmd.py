@@ -121,27 +121,18 @@ def main():
     yaws = np.asarray(jax.vmap(
         lambda q: spatial.euler_from_quat(q)[2])(_j.asarray(quat)))
     zs = xyz[:, 2]
+    from opendog_tpu.utils.cmd_tracking import segment_record
+
     segs = []
     for i, c in enumerate(SCHEDULE):
         a, b = i * seg, (i + 1) * seg
-        half = a + (b - a) // 2
-        dx = xyz[b - 1, 0] - xyz[half, 0]
-        dy = xyz[b - 1, 1] - xyz[half, 1]
-        dt = (b - 1 - half) * 0.02
-        vx_h = (dx * np.cos(c[2]) + dy * np.sin(c[2])) / max(dt, 1e-6)
-        yaw_end = float(yaws[b - 1])
-        segs.append(dict(
-            cmd=c,
-            mean_vx_cmd_frame=round(float(vx_h), 3),
-            vx_err=round(float(abs(vx_h - c[0])), 3),
-            yaw_end=round(yaw_end, 3),
-            yaw_err=round(float(abs(np.arctan2(
-                np.sin(yaw_end - c[2]), np.cos(yaw_end - c[2])))), 3),
-            z_min=round(float(zs[a:b].min()), 3),
-        ))
+        rec = segment_record(xyz[a:b, :2], yaws[b - 1], c)
+        rec["z_min"] = round(float(zs[a:b].min()), 3)
+        segs.append(rec)
+    # a segment tracks only if BOTH the speed and the heading are held —
+    # a commanded stand with residual creep (vx_err >= 0.15) must FAIL
     tracked = sum(1 for s in segs
-                  if (s["cmd"][0] == 0.0 or s["vx_err"] < 0.15)
-                  and s["yaw_err"] < 0.25)
+                  if s["vx_err"] < 0.15 and s["yaw_err"] < 0.25)
     res = dict(
         ticks=T,
         sim_minutes=round(T * 0.02 / 60.0, 2),
