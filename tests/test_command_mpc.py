@@ -190,3 +190,42 @@ def test_distiller_command_dim_round_and_eval():
     ev = jax.jit(dist.eval_fn, static_argnums=2)(dstate, plants, 2, None,
                                                  cmds)
     assert np.isfinite(np.asarray(ev["qpos_traj"])).all()
+
+
+def test_cmd_stride_scales_laws():
+    """The per-leg stride-scale helper: legacy linear law bit-compatible
+    at defaults, calibrated affine law boosts slow commands, exact stand,
+    and the turn differential signs per leg layout."""
+    pc0 = costs.TrotCostParams(desired_vel_xy=(0.5, 0.0))
+    v_nom = 0.5
+    side = costs._side_signs("go1")
+    # defaults: scalar linear scale broadcast per leg
+    s = costs._cmd_stride_scales(pc0, v_nom, side, jnp.array([0.25, 0, 0]))
+    np.testing.assert_allclose(np.asarray(s), 0.5, rtol=1e-5)
+    # calibrated affine law: slow command strides MORE than linear
+    pc1 = pc0._replace(amp_v0=0.16)
+    s1 = costs._cmd_stride_scales(pc1, v_nom, side, jnp.array([0.25, 0, 0]))
+    assert float(s1[0]) > 0.6
+    # stand at cmd 0 in both laws (up to the sqrt grad-safety epsilon)
+    for pc in (pc0, pc1):
+        s0 = costs._cmd_stride_scales(pc, v_nom, side, jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(s0), 0.0, atol=5e-6)
+    # turn differential: +yaw target strides RIGHT legs (FR, RR) longer
+    pc2 = pc1._replace(turn_gain=1.2)
+    st = costs._cmd_stride_scales(pc2, v_nom, side,
+                                  jnp.array([0.0, 0.0, 0.5]))
+    st = np.asarray(st)  # go1 order FR, FL, RR, RL
+    assert st[0] > 0 and st[2] > 0      # right side forward
+    assert st[1] < 0 and st[3] < 0      # left side backward
+    # opendog layout FL, FR, BL, BR: left legs are indices 0, 2
+    sd = np.asarray(costs._side_signs("opendog"))
+    assert (sd == np.array([-1.0, 1.0, -1.0, 1.0])).all()
+
+
+def test_ref_takes_cmd_convention():
+    m, home_j, _ = _setup()
+    pc = costs.TrotCostParams()
+    assert costs.ref_takes_cmd(
+        costs.trot_gait_ref_cmd(m, pc, home_j, legs="go1"))
+    assert not costs.ref_takes_cmd(
+        costs.trot_gait_ref(m, pc, home_j, legs="go1"))
