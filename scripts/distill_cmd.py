@@ -91,6 +91,13 @@ def main():
                          "plan deviation from u_ref(t, cmd) so labels "
                          "stay small + state-predictable (0 = free "
                          "expert, the measured stand-collapse)")
+    ap.add_argument("--payload_hi", type=float, default=0.0,
+                    help="> 0 also randomizes an UNOBSERVED trunk payload "
+                         "in [0, payload_hi] kg per scenario (the expert "
+                         "plans with it, the student must be robust to "
+                         "it) — unifies BASELINE config 5's command "
+                         "curriculum with config 4's payload "
+                         "randomization.  engine=pallas (TPU) only.")
     args = ap.parse_args()
 
     import jax
@@ -120,12 +127,19 @@ def main():
     dcfg = DistillConfig(num_scenarios=S, rollout_ticks=args.ticks,
                          rounds=args.rounds, lr=1e-3, batch_size=512,
                          epochs_per_round=8, beta_decay=0.93)
+    use_payload = args.payload_hi > 0.0
+    if use_payload:
+        assert engine == "pallas", \
+            "--payload_hi rides the fused kernel's payload lanes (TPU)"
     init, round_fn, eval_fn, collect, train_on = make_distiller(
         m, cost, obs_fn, net, mppi_config=mcfg, config=dcfg,
         plant_substeps=10, action_ref_fn=u_ref, with_prev_ctrl=True,
-        command_dim=3, anchor_w=args.anchor_w)
-    setup = setup._replace(recipe=dict(setup.recipe,
-                                       anchor_w=float(args.anchor_w)))
+        command_dim=3, anchor_w=args.anchor_w,
+        payload_range=((0.0, args.payload_hi) if use_payload else None))
+    setup = setup._replace(recipe=dict(
+        setup.recipe, anchor_w=float(args.anchor_w),
+        **(dict(payload_range=[0.0, float(args.payload_hi)])
+           if use_payload else {})))
 
     s0 = make_state(m, "home")
     hold = jnp.asarray(np.clip(np.asarray(m.key_ctrl[0], np.float32),
@@ -161,10 +175,12 @@ def main():
         # around non-walking states and swamp the gait data
         beta = max(0.2, dcfg.beta_decay ** r)
         cmds = jnp.asarray(sample_commands(rng, S, frac, args.max_modes))
+        payloads = (jnp.asarray(rng.uniform(0.0, args.payload_hi, S),
+                                jnp.float32) if use_payload else None)
         mstates = jax.vmap(lambda _: mppi_mod.init_state(m, mcfg))(
             jnp.arange(S))
         plants, _, key, obs, labels = jcollect(
-            dstate, plants, mstates, jnp.float32(beta), None, cmds)
+            dstate, plants, mstates, jnp.float32(beta), payloads, cmds)
         dstate = dstate.replace(key=key)
         buf_obs.append(np.asarray(obs)); buf_lab.append(np.asarray(labels))
         all_obs = np.concatenate(buf_obs); all_lab = np.concatenate(buf_lab)
@@ -199,49 +215,86 @@ def main():
     # scenarios, so the command rows must match that width
     eval_cmds = jnp.asarray(np.asarray(
         [EVAL_CMDS[i % len(EVAL_CMDS)] for i in range(S)], np.float32))
-    out = jax.jit(eval_fn, static_argnums=2)(
-        dstate, plants0, args.eval_ticks, None, eval_cmds)
-    qpos_traj = np.asarray(out["qpos_traj"])      # (T, S, nq)
-    z = qpos_traj[:, :, 2]
-    upright = ((z > z_band[0]) & (z < z_band[1])).all(axis=0)
     from opendog_tpu.utils.cmd_tracking import segment_record
 
-    # heading-frame speed + wrapped yaw error via the shared helper so
-    # "tracked" measures the same geometry as the soak (soak_cmd.py)
-    per = []
-    # first occurrence of each grid row only (rows repeat when S > grid)
-    for i, c in list(enumerate(np.asarray(eval_cmds)))[:len(EVAL_CMDS)]:
-        quat = qpos_traj[-1, i, 3:7]
-        yaw = float(np.asarray(spatial.euler_from_quat(jnp.asarray(quat)))[2])
-        rec = segment_record(qpos_traj[:, i, :2], yaw, c)
-        rec["mean_vx"] = rec.pop("mean_vx_cmd_frame")   # artifact schema
-        rec["final_yaw"] = rec.pop("yaw_end")
-        rec["upright"] = bool(upright[i])
-        per.append(rec)
-        print(json.dumps(per[-1]), flush=True)
-    speeds_tracked = sum(
-        1 for p in per
-        if p["upright"] and p["cmd"][2] == 0.0 and p["vx_err"] < 0.12)
-    heading_ok = [p for p in per if p["cmd"][2] != 0.0
-                  and p["upright"] and p["yaw_err"] < 0.2]
-    res = dict(
-        rounds=args.rounds,
-        final_loss=loss,
-        action_rmse=float(out["action_rmse"]),
-        eval_ticks=args.eval_ticks,
-        per_command=per,
-        speeds_tracked=speeds_tracked,
-        headings_tracked=len(heading_ok),
-        upright_all=bool(upright.all()),
-        # VERDICT done-criterion: >= 3 distinct speeds incl. stand + turns
-        tracks_3_speeds_and_turns=bool(
-            speeds_tracked >= 3
-            and any(p["cmd"][0] == 0.0 and p["vx_err"] < 0.07
-                    and p["upright"] for p in per)
-            and len(heading_ok) >= 2),
-        wall_s=round(time.time() - t0, 1),
-        recipe=setup.recipe,
-    )
+    jeval = jax.jit(eval_fn, static_argnums=2)
+
+    def eval_grid(payload):
+        """Student-only rollout of the whole grid at one (unobserved)
+        payload; heading-frame speed + wrapped yaw error via the shared
+        helper so "tracked" measures the same geometry as the soak."""
+        pl = (jnp.full((S,), payload, jnp.float32)
+              if payload is not None else None)
+        out = jeval(dstate, plants0, args.eval_ticks, pl, eval_cmds)
+        qpos_traj = np.asarray(out["qpos_traj"])      # (T, S, nq)
+        z = qpos_traj[:, :, 2]
+        upright = ((z > z_band[0]) & (z < z_band[1])).all(axis=0)
+        per = []
+        # first occurrence of each grid row only (rows repeat if S > grid)
+        for i, c in list(enumerate(np.asarray(eval_cmds)))[:len(EVAL_CMDS)]:
+            quat = qpos_traj[-1, i, 3:7]
+            yaw = float(np.asarray(
+                spatial.euler_from_quat(jnp.asarray(quat)))[2])
+            rec = segment_record(qpos_traj[:, i, :2], yaw, c)
+            rec["mean_vx"] = rec.pop("mean_vx_cmd_frame")  # artifact schema
+            rec["final_yaw"] = rec.pop("yaw_end")
+            rec["upright"] = bool(upright[i])
+            if payload is not None:
+                rec["payload_kg"] = round(float(payload), 2)
+            per.append(rec)
+            print(json.dumps(per[-1]), flush=True)
+        speeds_tracked = sum(
+            1 for p in per
+            if p["upright"] and p["cmd"][2] == 0.0 and p["vx_err"] < 0.12)
+        heading_ok = [p for p in per if p["cmd"][2] != 0.0
+                      and p["upright"] and p["yaw_err"] < 0.2]
+        return dict(
+            per_command=per,
+            action_rmse=float(out["action_rmse"]),
+            speeds_tracked=speeds_tracked,
+            headings_tracked=len(heading_ok),
+            upright_all=bool(upright.all()),
+            # VERDICT done-criterion: >= 3 speeds incl. stand + turns
+            tracks_3_speeds_and_turns=bool(
+                speeds_tracked >= 3
+                and any(p["cmd"][0] == 0.0 and p["vx_err"] < 0.07
+                        and p["upright"] for p in per)
+                and len(heading_ok) >= 2),
+        )
+
+    if use_payload:
+        # the student never observes the payload: the grid must track at
+        # EVERY load level
+        levels = [0.0, args.payload_hi / 2, args.payload_hi]
+        grids = {f"payload_{p:g}kg": eval_grid(p) for p in levels}
+        res = dict(
+            rounds=args.rounds,
+            final_loss=loss,
+            eval_ticks=args.eval_ticks,
+            payload_levels=levels,
+            **{k: v for k, v in grids.items()},
+            tracks_grid_at_all_payloads=bool(
+                all(g["tracks_3_speeds_and_turns"]
+                    for g in grids.values())),
+            upright_all=bool(all(g["upright_all"] for g in grids.values())),
+            wall_s=round(time.time() - t0, 1),
+            recipe=setup.recipe,
+        )
+    else:
+        g = eval_grid(None)
+        res = dict(
+            rounds=args.rounds,
+            final_loss=loss,
+            action_rmse=g["action_rmse"],
+            eval_ticks=args.eval_ticks,
+            per_command=g["per_command"],
+            speeds_tracked=g["speeds_tracked"],
+            headings_tracked=g["headings_tracked"],
+            upright_all=g["upright_all"],
+            tracks_3_speeds_and_turns=g["tracks_3_speeds_and_turns"],
+            wall_s=round(time.time() - t0, 1),
+            recipe=setup.recipe,
+        )
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps({k: v for k, v in res.items() if k != "per_command"}),
