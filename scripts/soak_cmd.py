@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--student", default="runs/distill_cmd/student.msgpack")
     ap.add_argument("--out", default="runs/distill_cmd")
     ap.add_argument("--segment_ticks", type=int, default=500)  # 10 s
+    ap.add_argument("--payload_kg", type=float, default=0.0,
+                    help="> 0 soaks with an UNOBSERVED trunk payload on "
+                         "the plant (kernel payload lanes; TPU only) — "
+                         "pair with the payload-randomized student "
+                         "(runs/distill_cmd_payload)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
@@ -76,14 +81,25 @@ def main():
     T = cmds_np.shape[0]
     cmds = jnp.asarray(cmds_np)
 
+    with_payload = args.payload_kg > 0.0
+    if with_payload:
+        assert engine == "pallas", \
+            "--payload_kg rides the fused kernel's payload lanes (TPU)"
     if engine == "pallas":
         from opendog_tpu.ops.pallas_step import build_pallas_substep
 
         psub = build_pallas_substep(m, float(m.timestep), k_tile=1,
-                                    n_substeps=10)
+                                    n_substeps=10,
+                                    with_payload=with_payload)
+        pl_row = jnp.full((1, 1), args.payload_kg, jnp.float32)
 
         def plant_step(st, u):
-            qp, qv = psub(st.qpos[:, None], st.qvel[:, None], u[:, None])
+            if with_payload:
+                qp, qv = psub(st.qpos[:, None], st.qvel[:, None],
+                              u[:, None], None, pl_row)
+            else:
+                qp, qv = psub(st.qpos[:, None], st.qvel[:, None],
+                              u[:, None])
             return State(qpos=qp[:, 0], qvel=qv[:, 0],
                          time=st.time + 10 * float(m.timestep))
     else:
@@ -143,6 +159,8 @@ def main():
         all_finite=bool(np.isfinite(xyz).all()),
         final_xy=[round(float(v), 3) for v in xyz[-1, :2]],
         engine=engine,
+        payload_kg=float(args.payload_kg),
+        student=args.student,
         wall_s=round(wall, 1),
     )
     os.makedirs(args.out, exist_ok=True)
