@@ -148,8 +148,29 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
                                   amp_v0=0.16,
                                   turn_gain=1.2)
         home_j = np.asarray(base.model.key_qpos[0])[7:]
+    elif robot == "opendog":
+        # Namesake-robot command family.  Measured on the op-graph plant
+        # (gait center = the round-3 sweep winner (2.58, -1.5)):
+        # - lift_phase = -pi/2: the OPPOSITE quadrature from go1 (its
+        #   thigh_dir sign differs) — +pi/2 marches BACKWARD (-0.11 m/s),
+        #   -pi/2 walks forward.
+        # - thigh_amp 0.26 / knee_lift 0.35 peak the open-loop speed at
+        #   0.206 m/s for cmd 0.28 (the speed-vs-amp curve is non-
+        #   monotone on this 7 cm robot, so the calibrated affine amp law
+        #   stays OFF — legacy linear command scaling).
+        # - turn_gain 1.2 turns the right way at a stand (+-0.4 target ->
+        #   yaw +-1.3 rad / 6 s open loop) and while trotting.
+        pc = costs.TrotCostParams(desired_vel_xy=(0.28, 0.0),
+                                  target_height=0.0703,
+                                  thigh_amp=0.26, knee_lift=0.35,
+                                  w_height=80.0, w_heading=15.0,
+                                  lift_phase=float(-np.pi / 2),
+                                  turn_gain=1.2)
+        home_j = np.asarray(base.model.key_qpos[0])[7:].copy()
+        home_j[np.array([0, 2, 4, 6])] = 2.58
+        home_j[np.array([1, 3, 5, 7])] = -1.5
     else:
-        raise ValueError("command-conditioned zoo setup wired for go1")
+        raise ValueError(robot)
     cost = costs.trot_cost_cmd(base.model, pc, home_j, legs=robot)
     # command-SCALED gait reference: the student's residual stays small
     # across the command family (a fixed nominal-speed u_ref forces huge

@@ -34,16 +34,31 @@ import time
 import numpy as np
 
 
-EVAL_CMDS = [
-    [0.0, 0.0, 0.0],     # stand
-    [0.25, 0.0, 0.0],    # slow trot
-    [0.5, 0.0, 0.0],     # nominal trot
-    [0.6, 0.0, 0.0],     # fast trot
-    [0.3, 0.0, 0.4],     # trot + turn left
-    [0.3, 0.0, -0.4],    # trot + turn right
-    [0.0, 0.0, 0.5],     # turn in place
-    [0.5, 0.0, 0.2],     # fast + slight turn
-]
+# per-robot eval grid / curriculum, speeds scaled to each robot's nominal
+# trot (go1 0.5 m/s; the 7 cm-tall opendog 0.28 m/s)
+EVAL_CMDS_BY_ROBOT = {
+    "go1": [
+        [0.0, 0.0, 0.0],     # stand
+        [0.25, 0.0, 0.0],    # slow trot
+        [0.5, 0.0, 0.0],     # nominal trot
+        [0.6, 0.0, 0.0],     # fast trot
+        [0.3, 0.0, 0.4],     # trot + turn left
+        [0.3, 0.0, -0.4],    # trot + turn right
+        [0.0, 0.0, 0.5],     # turn in place
+        [0.5, 0.0, 0.2],     # fast + slight turn
+    ],
+    "opendog": [
+        [0.0, 0.0, 0.0],
+        [0.14, 0.0, 0.0],
+        [0.28, 0.0, 0.0],
+        [0.34, 0.0, 0.0],
+        [0.2, 0.0, 0.3],
+        [0.2, 0.0, -0.3],
+        [0.0, 0.0, 0.4],
+        [0.28, 0.0, 0.2],
+    ],
+}
+EVAL_CMDS = EVAL_CMDS_BY_ROBOT["go1"]  # import-compat (distill_cmd_32k)
 
 
 # curriculum grid in difficulty order: nominal trot first, then slower/
@@ -51,27 +66,36 @@ EVAL_CMDS = [
 # jitter) rather than a continuum: S x rounds scenario-episodes
 # concentrate per command mode instead of spreading over a 3-D continuum
 # (a continuum curriculum measured to regress toward a stand-still mean).
-CURRICULUM = [
-    (0.5, 0.0), (0.25, 0.0), (0.6, 0.0), (0.0, 0.0),
-    (0.3, 0.4), (0.3, -0.4), (0.5, 0.2), (0.0, 0.5),
-]
+CURRICULUM_BY_ROBOT = {
+    "go1": [
+        (0.5, 0.0), (0.25, 0.0), (0.6, 0.0), (0.0, 0.0),
+        (0.3, 0.4), (0.3, -0.4), (0.5, 0.2), (0.0, 0.5),
+    ],
+    "opendog": [
+        (0.28, 0.0), (0.14, 0.0), (0.34, 0.0), (0.0, 0.0),
+        (0.2, 0.3), (0.2, -0.3), (0.28, 0.2), (0.0, 0.4),
+    ],
+}
+CURRICULUM = CURRICULUM_BY_ROBOT["go1"]
 
 
-def sample_commands(rng, S, frac, max_modes=None):
+def sample_commands(rng, S, frac, max_modes=None, curriculum=None,
+                    jitter=0.05):
     """Widening discrete curriculum with BALANCED mode allocation: round
     fraction ``frac`` unlocks a prefix of CURRICULUM; the S scenarios are
     split evenly across the unlocked modes (random draws measured to let
     later rounds dilute the walking modes — the multi-mode student then
     regresses to the stand attractor), plus jitter on the moving modes."""
-    n_avail = 1 + int(round(frac * (len(CURRICULUM) - 1)))
+    cur = CURRICULUM if curriculum is None else curriculum
+    n_avail = 1 + int(round(frac * (len(cur) - 1)))
     if max_modes is not None:
         n_avail = min(n_avail, max_modes)
     modes = (np.arange(S) * n_avail) // S  # balanced, deterministic
-    vx = np.array([CURRICULUM[i][0] for i in modes])
-    yaw = np.array([CURRICULUM[i][1] for i in modes])
+    vx = np.array([cur[i][0] for i in modes])
+    yaw = np.array([cur[i][1] for i in modes])
     moving = vx > 0.0
-    vx = np.where(moving, vx + rng.uniform(-0.05, 0.05, S), 0.0)
-    yaw = yaw + np.where(moving, rng.uniform(-0.05, 0.05, S), 0.0)
+    vx = np.where(moving, vx + rng.uniform(-jitter, jitter, S), 0.0)
+    yaw = yaw + np.where(moving, rng.uniform(-jitter, jitter, S), 0.0)
     return np.stack([vx, np.zeros(S), yaw], axis=1).astype(np.float32)
 
 
@@ -82,6 +106,8 @@ def main():
     ap.add_argument("--ticks", type=int, default=100)
     ap.add_argument("--eval_ticks", type=int, default=400)
     ap.add_argument("--out", default="runs/distill_cmd")
+    ap.add_argument("--robot", default="go1",
+                    choices=["go1", "opendog"])
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--max_modes", type=int, default=None,
                     help="clamp the curriculum to its first N modes "
@@ -111,7 +137,14 @@ def main():
     from opendog_tpu.solvers import mppi as mppi_mod
 
     engine = "pallas" if jax.default_backend() != "cpu" else "xla"
-    setup = cmd_distill_setup("go1", engine=engine)
+    setup = cmd_distill_setup(args.robot, engine=engine)
+    grid = EVAL_CMDS_BY_ROBOT[args.robot]
+    curriculum = CURRICULUM_BY_ROBOT[args.robot]
+    # per-robot tracking thresholds, scaled by nominal trot speed (the
+    # VERDICT done-criterion numbers are go1's; opendog trots 0.28 m/s)
+    v_scale = 1.0 if args.robot == "go1" else 0.28 / 0.5
+    thr_vx, thr_stand, thr_yaw = 0.12 * v_scale, 0.07 * v_scale, 0.2
+    jit_cmd = 0.05 * v_scale
     if args.smoke:
         from opendog_tpu.solvers import MPPIConfig
 
@@ -174,7 +207,9 @@ def main():
         # student-driven late rounds fill the buffer with recovery labels
         # around non-walking states and swamp the gait data
         beta = max(0.2, dcfg.beta_decay ** r)
-        cmds = jnp.asarray(sample_commands(rng, S, frac, args.max_modes))
+        cmds = jnp.asarray(sample_commands(rng, S, frac, args.max_modes,
+                                           curriculum=curriculum,
+                                           jitter=jit_cmd))
         payloads = (jnp.asarray(rng.uniform(0.0, args.payload_hi, S),
                                 jnp.float32) if use_payload else None)
         mstates = jax.vmap(lambda _: mppi_mod.init_state(m, mcfg))(
@@ -214,7 +249,7 @@ def main():
     # cycle the grid if S != len(EVAL_CMDS): eval_fn vmaps over exactly S
     # scenarios, so the command rows must match that width
     eval_cmds = jnp.asarray(np.asarray(
-        [EVAL_CMDS[i % len(EVAL_CMDS)] for i in range(S)], np.float32))
+        [grid[i % len(grid)] for i in range(S)], np.float32))
     from opendog_tpu.utils.cmd_tracking import segment_record
 
     jeval = jax.jit(eval_fn, static_argnums=2)
@@ -231,7 +266,7 @@ def main():
         upright = ((z > z_band[0]) & (z < z_band[1])).all(axis=0)
         per = []
         # first occurrence of each grid row only (rows repeat if S > grid)
-        for i, c in list(enumerate(np.asarray(eval_cmds)))[:len(EVAL_CMDS)]:
+        for i, c in list(enumerate(np.asarray(eval_cmds)))[:len(grid)]:
             quat = qpos_traj[-1, i, 3:7]
             yaw = float(np.asarray(
                 spatial.euler_from_quat(jnp.asarray(quat)))[2])
@@ -245,9 +280,10 @@ def main():
             print(json.dumps(per[-1]), flush=True)
         speeds_tracked = sum(
             1 for p in per
-            if p["upright"] and p["cmd"][2] == 0.0 and p["vx_err"] < 0.12)
+            if p["upright"] and p["cmd"][2] == 0.0
+            and p["vx_err"] < thr_vx)
         heading_ok = [p for p in per if p["cmd"][2] != 0.0
-                      and p["upright"] and p["yaw_err"] < 0.2]
+                      and p["upright"] and p["yaw_err"] < thr_yaw]
         return dict(
             per_command=per,
             action_rmse=float(out["action_rmse"]),
@@ -257,7 +293,7 @@ def main():
             # VERDICT done-criterion: >= 3 speeds incl. stand + turns
             tracks_3_speeds_and_turns=bool(
                 speeds_tracked >= 3
-                and any(p["cmd"][0] == 0.0 and p["vx_err"] < 0.07
+                and any(p["cmd"][0] == 0.0 and p["vx_err"] < thr_stand
                         and p["upright"] for p in per)
                 and len(heading_ok) >= 2),
         )
