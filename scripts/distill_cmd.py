@@ -47,15 +47,19 @@ EVAL_CMDS_BY_ROBOT = {
         [0.0, 0.0, 0.5],     # turn in place
         [0.5, 0.0, 0.2],     # fast + slight turn
     ],
+    # speeds span the MEASURED capability envelope of the opendog command
+    # gait (open-loop ceiling ~0.21 m/s on this 7 cm robot; commanding
+    # beyond it is untrackable by construction — the first training run
+    # with a 0.28/0.34 grid measured the student topping out at 0.13)
     "opendog": [
         [0.0, 0.0, 0.0],
-        [0.14, 0.0, 0.0],
-        [0.28, 0.0, 0.0],
-        [0.34, 0.0, 0.0],
-        [0.2, 0.0, 0.3],
-        [0.2, 0.0, -0.3],
+        [0.1, 0.0, 0.0],
+        [0.17, 0.0, 0.0],
+        [0.22, 0.0, 0.0],
+        [0.15, 0.0, 0.3],
+        [0.15, 0.0, -0.3],
         [0.0, 0.0, 0.4],
-        [0.28, 0.0, 0.2],
+        [0.2, 0.0, 0.2],
     ],
 }
 EVAL_CMDS = EVAL_CMDS_BY_ROBOT["go1"]  # import-compat (distill_cmd_32k)
@@ -72,8 +76,8 @@ CURRICULUM_BY_ROBOT = {
         (0.3, 0.4), (0.3, -0.4), (0.5, 0.2), (0.0, 0.5),
     ],
     "opendog": [
-        (0.28, 0.0), (0.14, 0.0), (0.34, 0.0), (0.0, 0.0),
-        (0.2, 0.3), (0.2, -0.3), (0.28, 0.2), (0.0, 0.4),
+        (0.17, 0.0), (0.1, 0.0), (0.22, 0.0), (0.0, 0.0),
+        (0.15, 0.3), (0.15, -0.3), (0.2, 0.2), (0.0, 0.4),
     ],
 }
 CURRICULUM = CURRICULUM_BY_ROBOT["go1"]

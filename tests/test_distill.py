@@ -185,9 +185,10 @@ def test_committed_student_recipe_matches_zoo_defaults():
 
 
 def test_committed_cmd_student_recipe_matches_zoo_defaults():
-    """Same pin for the command-conditioned student (runs/distill_cmd):
-    its recipe is cmd_distill_setup's plus the script-recorded anchor_w
-    (scripts/distill_cmd.py)."""
+    """Same pin for every committed command-conditioned student: each
+    artifact's recipe is cmd_distill_setup's for its robot plus the
+    script-recorded extras (anchor_w, payload_range —
+    scripts/distill_cmd.py)."""
     import json
     import os
 
@@ -195,19 +196,27 @@ def test_committed_cmd_student_recipe_matches_zoo_defaults():
 
     from opendog_tpu.rl.distill_zoo import cmd_distill_setup
 
-    path = os.path.join(os.path.dirname(__file__), "..", "runs",
-                        "distill_cmd", "metrics.json")
-    if not os.path.exists(path):
-        pytest.skip("no committed command-student artifact")
-    with open(path) as f:
-        rec = json.load(f)["recipe"]
-    anchor_w = rec.get("anchor_w")
-    assert anchor_w is not None, "cmd artifact must record anchor_w"
-    current = dict(cmd_distill_setup("go1").recipe, anchor_w=anchor_w)
-    assert rec == current, (
-        "runs/distill_cmd was trained with a different recipe than the "
-        f"current zoo defaults — retrain or restore:\n"
-        f"artifact: {rec}\ncurrent:  {current}")
+    root = os.path.join(os.path.dirname(__file__), "..", "runs")
+    checked = 0
+    for run in ("distill_cmd", "distill_cmd_payload",
+                "distill_cmd_opendog"):
+        path = os.path.join(root, run, "metrics.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            rec = json.load(f)["recipe"]
+        assert rec.get("anchor_w") is not None, \
+            f"{run} artifact must record anchor_w"
+        extras = {k: rec[k] for k in ("anchor_w", "payload_range")
+                  if k in rec}
+        current = dict(cmd_distill_setup(rec["robot"]).recipe, **extras)
+        assert rec == current, (
+            f"runs/{run} was trained with a different recipe than the "
+            f"current zoo defaults — retrain or restore:\n"
+            f"artifact: {rec}\ncurrent:  {current}")
+        checked += 1
+    if not checked:
+        pytest.skip("no committed command-student artifacts")
 
 
 def test_committed_cmd_student_deploys():
