@@ -31,6 +31,16 @@ def main():
     import jax
 
     import opendog_tpu  # noqa: F401
+    # Persistent XLA compilation cache (VERDICT r4 item 6): the r04 record
+    # spent 981 s (41% of the supervisor window) compiling the SAME tick
+    # program r03 compiled in ~180 s — remote-compile-service weather.
+    # With the cache, every run after the first deserializes the
+    # executable from disk instead of re-compiling (measured ~0.02 s
+    # client-side; residual first-exec cost is program load).
+    from opendog_tpu.utils import compile_cache
+    cache_dir = compile_cache.enable()
+    cache_entries = len([f for f in os.listdir(cache_dir)
+                         if f.endswith("-cache")])
     from opendog_tpu.assets import load_go1
     from opendog_tpu.physics import make_state
     from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
@@ -166,6 +176,8 @@ def main():
         "rollouts_per_tick": rollouts_per_tick,
         "horizon_s": cfg.horizon * cfg.n_substeps * cfg.rollout_dt,
         "compile_s": round(compile_s, 1),
+        "xla_cache_entries_at_start": cache_entries,
+        "xla_cache_hit": bool(cache_entries > 0 and compile_s < 120.0),
         "plant_healthy": healthy,
         "final_x": round(float(qpos[0]), 3),
         "device": str(jax.devices()[0]),

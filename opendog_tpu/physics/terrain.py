@@ -97,6 +97,65 @@ def generate_terrain(
     return Terrain(height=base + norm * sz)
 
 
+def generate_terrain_fractal(
+    key: jax.Array,
+    model: Model,
+    robot_start_xy=(0.0, 0.0),
+) -> Terrain:
+    """Second, independent terrain family (VERDICT r4 item 3): spectral
+    fBm + terraces + craters, for generator-held-out perception evals.
+
+    Structurally disjoint from :func:`generate_terrain` (the reference's
+    per-cell-noise + sinusoid + spike model, train2.py:203-292): heights
+    come from power-law-filtered Fourier noise (fractal Brownian
+    surface, spectral exponent U[1.6, 2.4]), partially quantized into
+    terraced steps, with 1-3 smooth Gaussian craters.  No flat episodes,
+    no spike field, no boundary amplification, no box smoothing.  Output
+    occupies the same normalized [0, 1] -> world-height range so models
+    trained on family 1 see in-range but out-of-family geometry."""
+    nrow, ncol = model.hfield_nrow, model.hfield_ncol
+    size = model.hfield_size
+    sx, sy = float(size[0]), float(size[1])
+    sz, base = float(size[2]), float(size[3])
+    keys = jax.random.split(key, 8)
+
+    # spectral synthesis: white noise shaped by |k|^-beta
+    beta = jax.random.uniform(keys[0], minval=1.6, maxval=2.4)
+    spec = (jax.random.normal(keys[1], (nrow, ncol))
+            + 1j * jax.random.normal(keys[2], (nrow, ncol)))
+    ky = jnp.fft.fftfreq(nrow)[:, None]
+    kx = jnp.fft.fftfreq(ncol)[None, :]
+    kk = jnp.sqrt(kx ** 2 + ky ** 2)
+    filt = jnp.where(kk > 0, kk ** (-beta), 0.0)
+    h = jnp.real(jnp.fft.ifft2(spec * filt))
+
+    # terracing: blend toward quantized levels (stepped mesas)
+    mn, mx = jnp.min(h), jnp.max(h)
+    hn = (h - mn) / (mx - mn + 1e-9)
+    n_steps = 4.0 + jnp.floor(jax.random.uniform(keys[6]) * 4.0)
+    terr_w = jax.random.uniform(keys[7], minval=0.3, maxval=0.8)
+    hn = terr_w * jnp.round(hn * n_steps) / n_steps + (1 - terr_w) * hn
+
+    # craters: smooth Gaussian depressions at random sites
+    xs = jnp.linspace(-sx, sx, ncol)[None, :]
+    ys = jnp.linspace(-sy, sy, nrow)[:, None]
+    sites = jax.random.uniform(keys[4], (3, 2), minval=-0.7 * sx,
+                               maxval=0.7 * sx)
+    radii = jax.random.uniform(keys[5], (3,), minval=0.3, maxval=1.0)
+    for i in range(3):
+        d2 = (xs - sites[i, 0]) ** 2 + (ys - sites[i, 1]) ** 2
+        hn = hn - 0.35 * jnp.exp(-d2 / (2 * radii[i] ** 2))
+
+    # flat spawn disk (the robot still needs somewhere to stand)
+    dist = jnp.sqrt((xs - robot_start_xy[0]) ** 2
+                    + (ys - robot_start_xy[1]) ** 2)
+    spawn = jnp.clip(dist / 0.35, 0.0, 1.0)
+    hn = 0.5 + (hn - 0.5) * spawn
+    hn = jnp.clip((hn - jnp.min(hn)) / (jnp.max(hn) - jnp.min(hn) + 1e-9),
+                  0.0, 1.0)
+    return Terrain(height=base + hn * sz)
+
+
 def flat_terrain(model: Model) -> Terrain:
     """The 'flat episode' terrain: normalized 0.5 everywhere (0.151 m)."""
     size = model.hfield_size

@@ -34,6 +34,15 @@ class TrotDistillSetup(NamedTuple):
     recipe: dict = None
 
 
+def _jsonable(v):
+    """Recipe values in their json round-trip form (tuples -> lists,
+    recursively) so artifact-recorded recipes compare equal to zoo
+    defaults after json load (amp_knots is a tuple of pairs)."""
+    if isinstance(v, tuple):
+        return [_jsonable(x) for x in v]
+    return float(v)
+
+
 def trot_distill_setup(robot: str = "go1", engine: str = "xla",
                        pc_overrides=None, gait_center=None,
                        ) -> TrotDistillSetup:
@@ -96,8 +105,7 @@ def trot_distill_setup(robot: str = "go1", engine: str = "xla",
                       engine=engine)
     recipe = dict(
         robot=robot,
-        cost_params={k: (list(v) if isinstance(v, tuple) else float(v))
-                     for k, v in pc._asdict().items()},
+        cost_params={k: _jsonable(v) for k, v in pc._asdict().items()},
         gait_center=(list(gait_center) if gait_center is not None
                      else None),
         noise_sigma=float(mcfg.noise_sigma),
@@ -149,22 +157,33 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
                                   turn_gain=1.2)
         home_j = np.asarray(base.model.key_qpos[0])[7:]
     elif robot == "opendog":
-        # Namesake-robot command family.  Measured on the op-graph plant
-        # (gait center = the round-3 sweep winner (2.58, -1.5)):
-        # - lift_phase = -pi/2: the OPPOSITE quadrature from go1 (its
-        #   thigh_dir sign differs) — +pi/2 marches BACKWARD (-0.11 m/s),
-        #   -pi/2 walks forward.
-        # - thigh_amp 0.26 / knee_lift 0.35 peak the open-loop speed at
-        #   0.206 m/s for cmd 0.28 (the speed-vs-amp curve is non-
-        #   monotone on this 7 cm robot, so the calibrated affine amp law
-        #   stays OFF — legacy linear command scaling).
-        # - turn_gain 1.2 turns the right way at a stand (+-0.4 target ->
-        #   yaw +-1.3 rad / 6 s open loop) and while trotting.
+        # Namesake-robot command family.  Gait shape from the round-3
+        # sweep winner (gait center (2.58, -1.5), lift_phase = -pi/2: the
+        # OPPOSITE quadrature from go1 — its thigh_dir sign differs;
+        # +pi/2 marches BACKWARD).  The speed->amplitude law is the
+        # PIECEWISE-LINEAR MEASURED one (amp_knots), calibrated open loop
+        # on the PALLAS plant — the engine the expert plans on and the
+        # student is evaluated on (scripts/calibrate_cmd_gait.py,
+        # runs/cmd_calibration/opendog.json).  Round 4 calibrated on the
+        # op-graph plant instead and the student under-tracked every
+        # command by ~2x (VERDICT r4 item 1): the pallas plant realizes
+        # v = 0.184*scale - 0.003 up to scale 1.05 (v_max 0.204 m/s) and
+        # SLOWS beyond it, so the law saturates at the measured top
+        # stride rather than over-striding.
+        # turn_gain 1.2 turns the right way at a stand (measured 0.25
+        # rad/s at the d-cap) and while trotting.
         pc = costs.TrotCostParams(desired_vel_xy=(0.28, 0.0),
                                   target_height=0.0703,
                                   thigh_amp=0.26, knee_lift=0.35,
-                                  w_height=80.0, w_heading=15.0,
+                                  w_height=80.0, w_heading=22.0,
                                   lift_phase=float(-np.pi / 2),
+                                  amp_knots=((0.0, 0.0),
+                                             (0.0274, 0.18),
+                                             (0.0509, 0.3),
+                                             (0.0821, 0.45),
+                                             (0.1212, 0.6),
+                                             (0.1371, 0.9),
+                                             (0.2042, 1.05)),
                                   turn_gain=1.2)
         home_j = np.asarray(base.model.key_qpos[0])[7:].copy()
         home_j[np.array([0, 2, 4, 6])] = 2.58
@@ -181,9 +200,25 @@ def cmd_distill_setup(robot: str = "go1", engine: str = "xla",
         base.recipe, command_conditioned=True,
         command=["vx", "vy", "yaw_target"],
         u_ref="trot_gait_ref_cmd",
-        cost_params={k: (list(v) if isinstance(v, tuple) else float(v))
-                     for k, v in pc._asdict().items()})
+        cost_params={k: _jsonable(v) for k, v in pc._asdict().items()})
     return base._replace(cost=cost, u_ref=u_ref, recipe=recipe)
+
+
+def normalize_recipe(rec: dict) -> dict:
+    """Fill cost_params fields added to TrotCostParams AFTER an artifact
+    was trained with their NamedTuple defaults: an absent field and a
+    default-valued field are behaviorally identical (the cost treats
+    them identically), so recipe pins survive purely additive schema
+    growth without retraining every committed student.  Non-default
+    drift still fails the pin."""
+    rec = dict(rec)
+    cp = dict(rec.get("cost_params", {}))
+    for k, v in costs.TrotCostParams()._asdict().items():
+        cp.setdefault(k, ([list(x) if isinstance(x, tuple) else x
+                           for x in v] if isinstance(v, tuple)
+                          else float(v)))
+    rec["cost_params"] = cp
+    return rec
 
 
 def load_student(path: str, setup: TrotDistillSetup, command_dim: int = 0):

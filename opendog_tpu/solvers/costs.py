@@ -104,6 +104,16 @@ class TrotCostParams(NamedTuple):
     # >= 0 enables scale = clip((v + amp_v0) / (v_nom + amp_v0), 0, 1.5)
     # * min(v / 0.1, 1) — affine law matching the measurement (amp_v0 =
     # 0.16), with the second factor gating smoothly to an exact stand.
+    amp_knots: tuple = ()      # measured piecewise-linear speed->scale
+    # law: ((v0, s0), (v1, s1), ...) pairs from
+    # scripts/calibrate_cmd_gait.py, measured OPEN LOOP on the SAME
+    # plant engine the policy runs on (the r4 opendog failure: a law
+    # calibrated on the op-graph plant under-drives the pallas plant by
+    # ~2x).  Non-empty overrides amp_v0/linear scaling:
+    # scale = interp(speed, v_knots, s_knots), clamped at the last knot
+    # (commanding beyond the gait's measured top speed saturates the
+    # stride instead of over-striding, which the calibration shows
+    # SLOWS this robot).  First knot (0, 0) gives the exact-stand gate.
     turn_gain: float = 0.0     # differential-stride steering gain.
     # > 0 adds a per-side stride asymmetry d = clip(turn_gain * dyaw,
     # -0.5, 0.5): legs on the turn's inside stride less (backwards at a
@@ -259,7 +269,11 @@ def _cmd_stride_scales(params: TrotCostParams, v_nom: float, side,
     place.  ``yaw=None`` is the open-loop (u_ref) form: the heading error
     is taken as the commanded target itself."""
     speed = jnp.sqrt(jnp.sum(jnp.square(cmd[:2])) + 1e-12)
-    if params.amp_v0 >= 0.0:
+    if len(params.amp_knots) > 0:
+        kv = jnp.asarray([k[0] for k in params.amp_knots], jnp.float32)
+        ks = jnp.asarray([k[1] for k in params.amp_knots], jnp.float32)
+        scale = jnp.interp(speed, kv, ks)
+    elif params.amp_v0 >= 0.0:
         scale = jnp.clip((speed + params.amp_v0)
                          / (v_nom + params.amp_v0), 0.0, 1.5) \
             * jnp.minimum(speed / 0.1, 1.0)
@@ -354,27 +368,54 @@ class ContactSchedule(NamedTuple):
     thigh_offset: tuple = None
 
 
-def trot_schedule(params: TrotCostParams, legs: str = "go1"
-                  ) -> ContactSchedule:
-    """Two-slot alternating-diagonal trot: pair A (FR+RL / FR+BL) in stance
-    while pair B swings, then swap.  Thigh offsets give each leg a
-    triangle-wave fore-aft swing of amplitude ``thigh_amp`` (forward during
-    swing, back during stance — the propulsive stroke)."""
+def trot_schedule(params: TrotCostParams, legs: str = "go1",
+                  duty: float = 0.5) -> ContactSchedule:
+    """Alternating-diagonal trot schedule: pair A (FR+RL / FR+BL) in
+    stance while pair B swings, then swap.  Thigh offsets give each leg a
+    triangle-wave fore-aft swing of amplitude ``thigh_amp`` (forward
+    during swing, back during stance — the propulsive stroke).
+
+    ``duty`` is the stance fraction per leg:
+
+    * 0.5 (default) — the classic two-slot trot: one diagonal pair is
+      always airborne.
+    * 0.625 — WALK-TROT with quadruple-support overlap: an 8-slot cycle
+      (swing = 3 slots = 3/8 period, stance = 5/8) where each diagonal
+      pair's touch-down overlaps the other pair's stance — the trunk is
+      carried by all four legs 25% of the time.  That overlap is the
+      stability margin the pure trot lacks between replans (the r4 TPU
+      crouched-march failure was chaos amplification through contact
+      with only two feet down — VERDICT r4 item 2; phase semantics as
+      landing_environment_reward_calc.py:107-135's front-then-back
+      weight transfer, generalized to a cyclic gait).  Swing time stays
+      within 25% of the trot's (0.15 s vs 0.2 s at period 0.4), unlike
+      a naive 4-slot overlap gait whose 0.1 s swing is too violent to
+      track (measured: collapses on the CPU plant)."""
     if legs == "go1":
         diag_sign = np.array([1.0, -1.0, -1.0, 1.0])  # FR, FL, RR, RL
     else:
         diag_sign = np.array([-1.0, 1.0, 1.0, -1.0])  # FL, FR, BL, BR
-    a_swing = (diag_sign > 0).astype(np.float32)
-    stance = np.stack([1.0 - a_swing, a_swing])  # slot0: A swings
-    # start of slot0: swing legs at -amp (about to sweep forward),
-    # start of slot1: they reached +amp and push back during stance
     amp = params.thigh_amp
-    off = np.stack([-amp * diag_sign, amp * diag_sign]).astype(np.float32)
+    try:
+        n_slots, n_swing = {0.5: (2, 1), 0.625: (8, 3)}[duty]
+    except KeyError:
+        raise ValueError(f"duty must be 0.5 or 0.625, got {duty}")
+    # per-leg triangle wave (slot-START waypoints): sweep -amp -> +amp
+    # over the n_swing swing slots, stroke back over the stance slots.
+    # Pair B runs the same cycle half a period later.
+    tri = np.array([
+        (-amp + 2.0 * amp * k / n_swing) if k <= n_swing
+        else (amp - 2.0 * amp * (k - n_swing) / (n_slots - n_swing))
+        for k in range(n_slots)], np.float32)
+    phase = np.where(diag_sign > 0, 0, n_slots // 2)
+    off = np.stack([tri[(k - phase) % n_slots] for k in range(n_slots)])
+    stance = np.stack([((k - phase) % n_slots >= n_swing)
+                       .astype(np.float32) for k in range(n_slots)])
     return ContactSchedule(
         stance=tuple(map(tuple, stance)),
-        slot_dt=params.period_s / 2.0,
+        slot_dt=params.period_s / n_slots,
         cyclic=True,
-        thigh_offset=tuple(map(tuple, off)),
+        thigh_offset=tuple(map(tuple, off.astype(np.float32))),
     )
 
 

@@ -187,15 +187,32 @@ def main():
     s0 = State(qpos=s0.qpos, qvel=s0.qvel * 0.0, time=jnp.zeros(()))
     kq = jax.random.split(jax.random.PRNGKey(7), S)
 
-    def jitter(key, qpos):
-        kj, kz = jax.random.split(key)
+    def jitter(key, qpos, yaw_range=0.0):
+        kj, kz, ky = jax.random.split(key, 3)
         qpos = qpos.at[7:].add(0.03 * jax.random.normal(kj, (m.nq - 7,)))
-        return qpos.at[2].add(0.01 * jax.random.normal(kz, ()))
+        qpos = qpos.at[2].add(0.01 * jax.random.normal(kz, ()))
+        # initial-YAW randomization (training only): without it, every
+        # heading mode spends nearly the whole episode mid-turn and the
+        # student never sees the stop-and-hold regime (dyaw ~ 0 with the
+        # u_ref still commanding a full differential stride) — the
+        # measured turn-in-place OVERSHOOT (final_yaw 0.63-0.67 for
+        # target 0.4, w_heading 15 and 22 alike).  Random start headings
+        # make near-target and past-target states first-class training
+        # data for every mode.  The EVAL keeps yaw-0 starts (same grid
+        # contract as go1).
+        a = yaw_range * jax.random.uniform(ky, (), minval=-1.0, maxval=1.0)
+        qyaw = spatial.quat_from_axis_angle(jnp.array([0.0, 0.0, 1.0]), a)
+        return qpos.at[3:7].set(spatial.quat_mul(qyaw, qpos[3:7]))
 
     qpos0 = jax.vmap(jitter, in_axes=(0, None))(kq, s0.qpos)
     plants0 = State(qpos=qpos0, qvel=jnp.zeros((S, m.nv)),
                     time=jnp.zeros(S))
-    plants = plants0
+    kq_t = jax.random.split(jax.random.PRNGKey(11), S)
+    qpos0_t = jax.vmap(lambda k, q: jitter(k, q, yaw_range=0.6),
+                       in_axes=(0, None))(kq_t, s0.qpos)
+    plants_train = State(qpos=qpos0_t, qvel=jnp.zeros((S, m.nv)),
+                         time=jnp.zeros(S))
+    plants = plants_train
     dstate = init(jax.random.PRNGKey(0), s0)
 
     jcollect = jax.jit(collect)
@@ -234,7 +251,14 @@ def main():
               f"buffer {all_obs.shape[0]} ({time.time() - t0:.0f}s)",
               flush=True)
         if (r + 1) % 4 == 0:
-            plants = plants0
+            # fresh start-yaw draws each reset: more heading-error
+            # coverage than one fixed batch of initial yaws
+            kq_t = jax.random.split(
+                jax.random.PRNGKey(1000 + r), S)
+            qpos0_t = jax.vmap(lambda k, q: jitter(k, q, yaw_range=0.6),
+                               in_axes=(0, None))(kq_t, s0.qpos)
+            plants = State(qpos=qpos0_t, qvel=jnp.zeros((S, m.nv)),
+                           time=jnp.zeros(S))
     for _ in range(20):
         idx = rng.integers(0, all_obs.shape[0], TRAIN_N)
         ko = jax.random.PRNGKey(int(rng.integers(1 << 30)))

@@ -26,7 +26,7 @@ import sys
 import time
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
@@ -55,9 +55,11 @@ if mode == "mppi":
     from opendog_tpu.physics import make_state
     from opendog_tpu.solvers import MPPIConfig, costs, mppi
 
+    samples_per_dev = int(os.environ.get("OPENDOG_SCALING_SAMPLES", "64"))
+    horizon = int(os.environ.get("OPENDOG_SCALING_HORIZON", "10"))
     cost = costs.standing_cost(m, 0.0694, np.asarray(m.key_qpos[0])[7:])
-    cfg = MPPIConfig(horizon=10, num_samples=64 * nproc, n_substeps=2,
-                     rollout_dt=0.01, noise_sigma=0.08)
+    cfg = MPPIConfig(horizon=horizon, num_samples=samples_per_dev * nproc,
+                     n_substeps=2, rollout_dt=0.01, noise_sigma=0.08)
     solve = mppi.make_solver(m, cost, cfg, mesh=mesh)
     state = jax.tree.map(replicated, make_state(m, "home"))
     ms0 = jax.tree.map(replicated, mppi.init_state(m, cfg))

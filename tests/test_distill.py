@@ -162,7 +162,9 @@ def test_committed_student_recipe_matches_zoo_defaults():
 
     import pytest
 
-    from opendog_tpu.rl.distill_zoo import trot_distill_setup
+    from opendog_tpu.rl.distill_zoo import (
+        normalize_recipe, trot_distill_setup,
+    )
 
     root = os.path.join(os.path.dirname(__file__), "..", "runs")
     checked = 0
@@ -174,7 +176,10 @@ def test_committed_student_recipe_matches_zoo_defaults():
             rec = json.load(f).get("recipe")
         if rec is None:
             continue  # pre-recipe artifact
-        current = trot_distill_setup(robot).recipe
+        # absent-field == NamedTuple-default (purely additive schema
+        # growth, e.g. amp_knots added in r5); real drift still fails
+        rec = normalize_recipe(rec)
+        current = normalize_recipe(trot_distill_setup(robot).recipe)
         assert rec == current, (
             f"runs/distill_{robot} was trained with a different recipe "
             f"than the current zoo defaults — retrain or restore:\n"
@@ -194,7 +199,9 @@ def test_committed_cmd_student_recipe_matches_zoo_defaults():
 
     import pytest
 
-    from opendog_tpu.rl.distill_zoo import cmd_distill_setup
+    from opendog_tpu.rl.distill_zoo import (
+        cmd_distill_setup, normalize_recipe,
+    )
 
     root = os.path.join(os.path.dirname(__file__), "..", "runs")
     checked = 0
@@ -209,7 +216,9 @@ def test_committed_cmd_student_recipe_matches_zoo_defaults():
             f"{run} artifact must record anchor_w"
         extras = {k: rec[k] for k in ("anchor_w", "payload_range")
                   if k in rec}
-        current = dict(cmd_distill_setup(rec["robot"]).recipe, **extras)
+        rec = normalize_recipe(rec)
+        current = normalize_recipe(
+            dict(cmd_distill_setup(rec["robot"]).recipe, **extras))
         assert rec == current, (
             f"runs/{run} was trained with a different recipe than the "
             f"current zoo defaults — retrain or restore:\n"
