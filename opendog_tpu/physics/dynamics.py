@@ -671,6 +671,18 @@ def contact_terms(
     active = (phi < 0.0).astype(phi.dtype)
     v_n = jnp.einsum("gi,gi->g", v_pt, n)
     k, d = model.geom_stiffness, model.geom_damping
+    if model.geom_imp_dmin is not None:
+        # progressive impedance (MuJoCo solimp, power 1): soft at
+        # touchdown, full stiffness at pen >= width.  Scales the normal
+        # spring AND (through fn) the Coulomb limit mu*fn — the
+        # touchdown-slip behavior of the reference's soft foot pads
+        # (go1.xml:62).  The damper scales with it too, as MuJoCo's
+        # impedance scales the whole constraint force.
+        imp = (model.geom_imp_dmin
+               + (1.0 - model.geom_imp_dmin)
+               * jnp.clip(pen / model.geom_imp_width, 0.0, 1.0))
+        k = k * imp
+        d = d * imp
     fn_spring = jnp.minimum(k * pen, 1e4)  # explicit, bounded
 
     # point Jacobians (ng, nv, 3)
@@ -698,6 +710,30 @@ def contact_terms(
         + (kappa_t * active)[:, None, None] * (eye[None] - nnT)
     )
     D = jnp.einsum("gvi,gij,gwj->vw", J, C, J)
+    if model.geom_imp_dmin is not None:
+        # oracle-contact variant (same gate as the progressive
+        # impedance): TORSIONAL + ROLLING friction, the condim=6 part of
+        # the reference foot (go1.xml:62 friction "0.8 0.02 0.01").
+        # Without it a sphere foot pivots frictionlessly about the
+        # contact — stance legs roll forward like wheels, a systematic
+        # propulsion surplus vs the oracle.  Linearised about the
+        # current angular slip exactly like the sliding term:
+        # resisting torque = -mu_r * fn / max(|w|, eps_r) * w, split by
+        # normal (torsional) / tangential (rolling) components, folded
+        # into D through the ANGULAR Jacobian (torque on the body).
+        w_g = Vg[:, :3]
+        w_n = jnp.einsum("gi,gi->g", w_g, n)
+        w_t = w_g - w_n[:, None] * n
+        wt_norm = jnp.sqrt(jnp.einsum("gi,gi->g", w_t, w_t) + 1e-12)
+        eps_r = 0.5  # rad/s linearisation scale
+        mu_tors = model.geom_friction[:, 1]
+        mu_roll = model.geom_friction[:, 2]
+        kap_tors = mu_tors * fn_spring / jnp.maximum(jnp.abs(w_n), eps_r)
+        kap_roll = mu_roll * fn_spring / jnp.maximum(wt_norm, eps_r)
+        C_ang = ((kap_tors * active)[:, None, None] * nnT
+                 + (kap_roll * active)[:, None, None] * (eye[None] - nnT))
+        J_ang = mask[:, :, None] * S[None, :, :3]
+        D = D + jnp.einsum("gvi,gij,gwj->vw", J_ang, C_ang, J_ang)
 
     # diagnostics with the saturated Coulomb model at the current velocity
     fn_diag = jnp.maximum(fn_spring - d * v_n, 0.0) * active

@@ -18,7 +18,7 @@ Design notes (TPU-first):
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +120,18 @@ class Model:
     limit_stiffness: jax.Array  # () joint-limit spring [N m/rad]
     limit_damping: jax.Array  # () joint-limit damper
     hfield_size: jax.Array  # (4,) x-radius, y-radius, z-top, z-base
+
+    # ---- optional progressive contact impedance (MuJoCo solimp
+    #      semantics, power 1): the penalty force ramps from
+    #      dmin * k * pen at touchdown to the full k * pen at
+    #      penetration >= width.  The reference go1 foot
+    #      (go1.xml:62 solimp="0.015 1 0.023") is soft at touchdown —
+    #      the friction limit mu*N ramps with it, reproducing the
+    #      oracle's touchdown slip.  None (default) = crisp penalty
+    #      (every committed plant/bench behavior unchanged).  Op-graph
+    #      engine only; the fused kernel keeps the crisp model. ----
+    geom_imp_dmin: Optional[jax.Array] = None   # (ng,)
+    geom_imp_width: Optional[jax.Array] = None  # (ng,)
 
     # ------------------------------------------------------------------
     def key_id(self, name: str) -> int:

@@ -235,3 +235,90 @@ def test_distilled_gait_artifact_replays_healthy():
     assert np.isfinite(np.asarray(state.qpos)).all()
     assert 0.04 < float(state.qpos[2]) < 0.12
     assert float(state.qpos[0]) > 0.02  # forward over the 2 s gait
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SCENE.replace("our_robot",
+                                                         "unitree_go1")),
+                    reason="reference scene not mounted")
+def test_go1_cmd_trot_parity():
+    """Go1 cross-engine parity row (VERDICT r4 item 5): the flagship
+    bench/solver robot's command-gait trot replayed OPEN LOOP for 6 s at
+    0.5 m/s in our engine (oracle-contact variant: the reference's own
+    solimp + condim-6 foot semantics, assets.go1_oracle_contact) and in
+    MuJoCo 3.10.
+
+    Measured 2026-08-19 (CPU f32 vs MuJoCo f64): ours 2.628 m vs oracle
+    2.518 m, trunk-x RMSE 69 mm = 2.74% of distance traveled, z RMSE
+    9.1 mm, joint RMSE 8.0 mrad.  Bounds ~1.8x measured.  The crisp
+    production contact measures 8.26% on the same protocol — the gap
+    decomposition (touchdown slip, foot-pivot rolling friction, ride
+    height) is documented at assets.go1_oracle_contact and in
+    docs/PARITY.md."""
+    mujoco = pytest.importorskip("mujoco")
+    import tempfile as _tf
+
+    from opendog_tpu.assets import go1_oracle_contact
+    from opendog_tpu.rl.distill_zoo import cmd_distill_setup
+
+    REF_GO1 = "/root/reference/Code/mujoco/unitree_go1"
+    setup = cmd_distill_setup("go1", engine="xla")
+    m = go1_oracle_contact(setup.model)
+    cmd = jnp.asarray([0.5, 0.0, 0.0])
+    lo, hi = np.asarray(m.actuator_ctrlrange).T
+    T = 300
+    ctrls = np.asarray(
+        [np.clip(np.asarray(setup.u_ref(jnp.float32(k * 0.02), cmd)),
+                 lo, hi) for k in range(T)], np.float32)
+
+    state = make_state(m, "home")
+    state, _ = dynamics.step(m, state, jnp.asarray(m.key_ctrl[0]), None,
+                             n_substeps=200)
+    state = state.replace(time=jnp.zeros(()))
+    tick = jax.jit(lambda s, c: dynamics.step(m, s, c, None,
+                                              n_substeps=10)[0])
+    qs = []
+    for k in range(T):
+        state = tick(state, jnp.asarray(ctrls[k]))
+        qs.append(np.asarray(state.qpos))
+    q_ours = np.asarray(qs)
+
+    # oracle: reference go1.xml ships referencing a trunk.stl it does not
+    # include (visual-only; inertials explicit) — drop those two lines
+    go1_src = "\n".join(
+        ln for ln in open(os.path.join(REF_GO1, "go1.xml")).read()
+        .splitlines()
+        if "trunk.stl" not in ln and 'mesh="trunk"' not in ln)
+    scene = """<mujoco model="scene">
+      <include file="go1.xml"/>
+      <worldbody><geom name="floor" type="plane" size="0 0 .05"/></worldbody>
+    </mujoco>"""
+    with _tf.TemporaryDirectory() as d:
+        open(os.path.join(d, "go1.xml"), "w").write(go1_src)
+        p = os.path.join(d, "scene.xml")
+        open(p, "w").write(textwrap.dedent(scene))
+        os.symlink(os.path.join(REF_GO1, "assets"),
+                   os.path.join(d, "assets"))
+        mm = mujoco.MjModel.from_xml_path(p)
+    dd = mujoco.MjData(mm)
+    mujoco.mj_resetDataKeyframe(mm, dd, 0)
+    dd.ctrl[:] = mm.key_ctrl[0]
+    for _ in range(200):
+        mujoco.mj_step(mm, dd)
+    qm = []
+    n_per = int(round(0.02 / mm.opt.timestep))
+    for k in range(T):
+        dd.ctrl[:] = ctrls[k]
+        for _ in range(n_per):
+            mujoco.mj_step(mm, dd)
+        qm.append(dd.qpos.copy())
+    q_mj = np.asarray(qm)
+
+    dist = abs(q_mj[-1, 0])
+    assert dist > 2.0, f"oracle barely moved ({dist:.3f} m)"
+    x_rmse = _rmse(q_ours[:, 0], q_mj[:, 0])
+    assert x_rmse / dist < 0.05, \
+        f"trunk-x RMSE {x_rmse:.3f} m = {100 * x_rmse / dist:.1f}% of {dist:.2f} m"
+    assert _rmse(q_ours[:, 2], q_mj[:, 2]) < 0.016
+    assert _rmse(q_ours[:, 7:], q_mj[:, 7:]) < 0.015
+    # same direction, comparable displacement
+    assert abs(q_ours[-1, 0] - q_mj[-1, 0]) / dist < 0.10
