@@ -296,12 +296,36 @@ def make_ilqr_tracker(
     track_ticks: int = 50,
     plant_substeps: int = 10,
     terrain: Optional[Terrain] = None,
+    u_ref_fn: Optional[Callable] = None,
 ):
     """BASELINE config 3: whole-body iLQR with a slow replan + fast tracking
     loop — replan the full horizon once per ``track_ticks`` control ticks
     (1 Hz replan / 50 Hz tracking at the defaults), and between replans
     execute the time-varying LQR policy u_t = U*_t + K_t (x - X*_t) from the
     last solve.  The whole replan+track cycle is one jitted function.
+
+    Two lessons from the r4 crouched-march failure (VERDICT r4 item 2)
+    are baked into how this is meant to be configured:
+
+    * **Plan at the plant's integration rate.**  With a coarser plan
+      integrator (e.g. 10 ms substeps vs the 2 ms plant) the plan is not
+      a trajectory the plant can realize — the LQR "tracking error" is
+      really model mismatch through stiff contact, measured at 3-4 cm of
+      trunk height PER CYCLE, and each replan then starts from a sunk
+      state until the solve settles into a crouched march.  At matched
+      rates the tracked rollout reproduces the plan to ~0 gap and the
+      death spiral disappears at its root (.scratch-measured, pinned by
+      tests/test_contact_schedule.py::test_scheduled_trot_multicycle_z_band).
+
+    * **Warm-start from the gait reference** (``u_ref_fn``, e.g.
+      ``costs.trot_gait_ref``).  The default receding warm start
+      degenerates to ``tile(U[-1])`` when ``track_ticks == horizon`` —
+      every replan restarts iLQR from a constant-control guess, and a
+      bounded-iteration solve from a bad guess can land in the crouch
+      basin.  With ``u_ref_fn`` every cycle's solve starts from the
+      canonical gait at the correct phase (same decomposition as the
+      anchored-MPPI distillation expert), so solve quality cannot decay
+      cycle over cycle.
     """
     from . import ilqr as ilqr_mod
 
@@ -314,6 +338,7 @@ def make_ilqr_tracker(
                                terrain=terrain)
     lo = np.asarray(model.actuator_ctrlrange)[:, 0]
     hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    stage_dt = ilqr_config.n_substeps * ilqr_config.rollout_dt
 
     def cycle(plant: State, U_init: jax.Array):
         """One replan + ``track_ticks`` tracked plant ticks.  Returns
@@ -340,10 +365,17 @@ def make_ilqr_tracker(
         plant2, traj = jax.lax.scan(
             track, plant, jnp.arange(track_ticks)
         )
-        U_next = jnp.concatenate(
-            [U[track_ticks:],
-             jnp.tile(U[-1:], (track_ticks, 1))], axis=0
-        )
+        if u_ref_fn is not None:
+            # canonical warm start: the gait reference at the next
+            # cycle's absolute stage times (see docstring)
+            ts = plant2.time + stage_dt * jnp.arange(ilqr_config.horizon)
+            U_next = jnp.clip(jax.vmap(u_ref_fn)(ts),
+                              jnp.asarray(lo), jnp.asarray(hi))
+        else:
+            U_next = jnp.concatenate(
+                [U[track_ticks:],
+                 jnp.tile(U[-1:], (track_ticks, 1))], axis=0
+            )
         traj["cost"] = stats["cost"]
         return plant2, U_next, traj
 

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--skip", nargs="*", default=[])
     args = ap.parse_args()
 
+    from opendog_tpu.utils import compile_cache
+    compile_cache.enable()
+
     import jax
     import jax.numpy as jnp
 
@@ -285,14 +288,26 @@ def main():
         sched = costs.trot_schedule(pc, legs="go1")
         cost = costs.contact_schedule_cost(m, sched, pc, home_j,
                                            legs="go1")
-        # iterations=6: at 4 the solve is under-converged and the plan
-        # error accumulates — the trot sinks and collapses by cycle ~5
-        # (TPU) / ~7 (CPU); at 6 it holds z >= 0.19 for 10+ cycles
-        # (measured, .scratch/ilqr3b_fix.log method)
-        icfg = ILQRConfig(horizon=25, n_substeps=2, rollout_dt=0.01,
+        # r5 robustness fix (VERDICT r4 item 2), root-caused on a
+        # deterministic CPU repro (the same program healthy or crouching
+        # depending on compilation flags — a knife edge, not TPU
+        # precision):
+        #  * plan at the PLANT's 2 ms integration (n_substeps=10,
+        #    scanned): the 10 ms plan integrator was model mismatch
+        #    through stiff contact — 3-4 cm of "tracking error" per
+        #    cycle was really an unrealizable plan;
+        #  * warm-start every solve from the gait reference (u_ref_fn):
+        #    with track_ticks == horizon the receding warm start
+        #    degenerates to tile(U[-1]) and solve quality decays into
+        #    the crouch basin.
+        # See make_ilqr_tracker docstring; multi-cycle z-band pinned by
+        # tests/test_contact_schedule.py.
+        icfg = ILQRConfig(horizon=25, n_substeps=10, rollout_dt=0.002,
                           iterations=6)
+        u_ref = costs.trot_gait_ref(m, pc, home_j, legs="go1")
         cycle = jax.jit(make_ilqr_tracker(m, cost, icfg, track_ticks=25,
-                                          plant_substeps=10))
+                                          plant_substeps=10,
+                                          u_ref_fn=u_ref))
         s = make_state(m, "home")
         s, _ = dynamics.step(m, s, jnp.asarray(m.key_ctrl[0]), None,
                              n_substeps=200)
