@@ -24,7 +24,8 @@ import numpy as np
 # 0/0.25/0.3/0.5/0.6 m/s and yaw 0/0.2/±0.4/0.5, each jittered ±0.05 in
 # training, so 0.35/0.45 m/s and yaw ±0.25 sit at or beyond the sampled
 # envelope — a command-space density test, not pure extrapolation)
-SCHEDULE = [
+SCHEDULE_BY_ROBOT = {}
+SCHEDULE_BY_ROBOT["go1"] = [
     [0.5, 0.0, 0.0],
     [0.0, 0.0, 0.0],
     [0.25, 0.0, 0.0],
@@ -46,12 +47,40 @@ SCHEDULE = [
     [0.55, 0.0, 0.0],
     [0.0, 0.0, 0.0],
 ]
+# namesake-robot schedule: the same shape scaled to the OpenDOG's measured
+# capability envelope (calibrated ceiling ~0.204 m/s; grid modes
+# 0/0.1/0.17/0.22 m/s, yaw 0/0.2/±0.3/0.4 — the probes 0.13/0.19 m/s and
+# yaw ±0.25 sit BETWEEN curriculum modes)
+SCHEDULE_BY_ROBOT["opendog"] = [
+    [0.17, 0.0, 0.0],
+    [0.0, 0.0, 0.0],
+    [0.1, 0.0, 0.0],
+    [0.15, 0.0, 0.3],
+    [0.2, 0.0, 0.3],
+    [0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.4],
+    [0.15, 0.0, -0.3],
+    [0.2, 0.0, -0.3],
+    [0.1, 0.0, 0.0],
+    [0.0, 0.0, 0.0],
+    [0.17, 0.0, 0.0],
+    # ---- interpolation probes (off the training grid) ----
+    [0.13, 0.0, 0.0],
+    [0.19, 0.0, 0.0],
+    [0.13, 0.0, 0.25],
+    [0.19, 0.0, -0.25],
+    [0.0, 0.0, 0.25],
+    [0.21, 0.0, 0.0],
+    [0.0, 0.0, 0.0],
+]
+SCHEDULE = SCHEDULE_BY_ROBOT["go1"]  # import-compat
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--student", default="runs/distill_cmd/student.msgpack")
     ap.add_argument("--out", default="runs/distill_cmd")
+    ap.add_argument("--robot", default="go1", choices=["go1", "opendog"])
     ap.add_argument("--segment_ticks", type=int, default=500)  # 10 s
     ap.add_argument("--payload_kg", type=float, default=0.0,
                     help="> 0 soaks with an UNOBSERVED trunk payload on "
@@ -71,13 +100,14 @@ def main():
     engine = "pallas" if jax.default_backend() != "cpu" else "xla"
     if args.smoke:
         args.segment_ticks = 5
-    setup = cmd_distill_setup("go1", engine=engine)
+    setup = cmd_distill_setup(args.robot, engine=engine)
+    schedule = SCHEDULE_BY_ROBOT[args.robot]
     m = setup.model
     policy = load_student(args.student, setup, command_dim=3)
     z_lo, z_hi = setup.z_band
 
     seg = args.segment_ticks
-    cmds_np = np.repeat(np.asarray(SCHEDULE, np.float32), seg, axis=0)
+    cmds_np = np.repeat(np.asarray(schedule, np.float32), seg, axis=0)
     T = cmds_np.shape[0]
     cmds = jnp.asarray(cmds_np)
 
@@ -140,15 +170,16 @@ def main():
     from opendog_tpu.utils.cmd_tracking import segment_record
 
     segs = []
-    for i, c in enumerate(SCHEDULE):
+    for i, c in enumerate(schedule):
         a, b = i * seg, (i + 1) * seg
         rec = segment_record(xyz[a:b, :2], yaws[b - 1], c)
         rec["z_min"] = round(float(zs[a:b].min()), 3)
         segs.append(rec)
     # a segment tracks only if BOTH the speed and the heading are held —
     # a commanded stand with residual creep (vx_err >= 0.15) must FAIL
+    thr_v = 0.15 if args.robot == "go1" else 0.15 * 0.28 / 0.5
     tracked = sum(1 for s in segs
-                  if s["vx_err"] < 0.15 and s["yaw_err"] < 0.25)
+                  if s["vx_err"] < thr_v and s["yaw_err"] < 0.25)
     res = dict(
         ticks=T,
         sim_minutes=round(T * 0.02 / 60.0, 2),
