@@ -95,3 +95,34 @@ def test_localizer_update_without_frame_is_pure_odometry(rough_world):
     pose, rms = loc.update(0.2, 0.0, 0.0, 0.1, points_robot=None)
     np.testing.assert_allclose(pose[0], 0.02, atol=1e-6)
     assert np.isnan(rms)
+
+
+def test_pointcloud_viz_renders_cloud_and_trajectory():
+    """Headless point-cloud viewer (the pyray/open3d GUI substitute,
+    slam_visualizer.py): orbit frames must place height-colored points
+    and the white trajectory polyline with correct occlusion."""
+    import numpy as np
+
+    from opendog_tpu.apps.pointcloud_viz import (
+        orbit_frames, render_cloud_frame, voxel_downsample,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-2, 2, 4000), rng.uniform(-2, 2, 4000),
+                    0.2 * np.sin(rng.uniform(0, 6, 4000))], 1)
+    down = voxel_downsample(pts, voxel_m=0.2)
+    assert 10 < down.shape[0] < pts.shape[0]
+    traj = np.stack([np.linspace(-1, 1, 30), np.zeros(30)], 1)
+    img = render_cloud_frame(down, traj, orbit_deg=40.0)
+    assert img.shape == (360, 480, 3) and img.dtype == np.uint8
+    lit = (img.astype(int).sum(-1) > 80).sum()
+    assert lit > 100, f"only {lit} lit pixels"
+    # trajectory drawn in (near-)white
+    assert (img.min(-1) > 200).any(), "no white trajectory pixels"
+    frames = list(orbit_frames(down, traj, n_frames=3))
+    assert len(frames) == 3
+    # views from different orbit angles must differ
+    assert np.abs(frames[0].astype(int) - frames[1].astype(int)).max() > 0
+    # empty cloud degrades gracefully
+    empty = render_cloud_frame(np.zeros((0, 3)))
+    assert empty.shape == (360, 480, 3)
