@@ -382,15 +382,17 @@ def trot_schedule(params: TrotCostParams, legs: str = "go1",
     * 0.625 — WALK-TROT with quadruple-support overlap: an 8-slot cycle
       (swing = 3 slots = 3/8 period, stance = 5/8) where each diagonal
       pair's touch-down overlaps the other pair's stance — the trunk is
-      carried by all four legs 25% of the time.  That overlap is the
-      stability margin the pure trot lacks between replans (the r4 TPU
-      crouched-march failure was chaos amplification through contact
-      with only two feet down — VERDICT r4 item 2; phase semantics as
+      carried by all four legs 25% of the time (phase semantics as
       landing_environment_reward_calc.py:107-135's front-then-back
-      weight transfer, generalized to a cyclic gait).  Swing time stays
-      within 25% of the trot's (0.15 s vs 0.2 s at period 0.4), unlike
-      a naive 4-slot overlap gait whose 0.1 s swing is too violent to
-      track (measured: collapses on the CPU plant)."""
+      weight transfer, generalized to a cyclic gait).  HONEST status:
+      explored as a stability-margin candidate for the r4 crouched-march
+      failure, but measured WORSE than the trot under the old tracker
+      (quad support holds the two pairs at different thigh offsets — a
+      leg-length conflict the solver resolves by crouching: go1 z ~0.07
+      at w_height 60, 0.11 at 120, vs the trot's healthy 0.19-0.25).
+      The actual r4 fix was plan-integration rate + warm start (see
+      make_ilqr_tracker).  Kept as the schedule-expressiveness example
+      and for low-speed gaits where the offset conflict is small."""
     if legs == "go1":
         diag_sign = np.array([1.0, -1.0, -1.0, 1.0])  # FR, FL, RR, RL
     else:

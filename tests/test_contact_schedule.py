@@ -154,3 +154,23 @@ def test_scheduled_trot_multicycle_z_band():
     assert 0.20 < zs[-1].mean() < 0.35, \
         f"last-cycle z mean {zs[-1].mean():.3f} — crouched-march class"
     assert q[0] - x0 > 0.8, f"distance {q[0] - x0:.3f} m — stopped trotting"
+
+
+def test_walk_trot_schedule_table():
+    """duty=0.625 walk-trot: 8 slots, two quadruple-support slots, and
+    each leg's thigh triangle sweeps -amp -> +amp across its 3 swing
+    slots then strokes back through stance; duty=0.5 stays byte-exact
+    with the legacy 2-slot table (pinned elsewhere)."""
+    pc = costs.TrotCostParams(thigh_amp=0.2, period_s=0.4)
+    s8 = costs.trot_schedule(pc, "go1", duty=0.625)
+    st = np.asarray(s8.stance)
+    assert st.shape == (8, 4)
+    assert [k for k in range(8) if st[k].sum() == 4] == [3, 7]
+    assert np.isclose(s8.slot_dt, 0.05)
+    off = np.asarray(s8.thigh_offset)
+    # FR (pair A) swings slots 0-2: -amp at slot0, +amp at slot3
+    assert np.isclose(off[0, 0], -0.2) and np.isclose(off[3, 0], 0.2)
+    # FL (pair B) runs the same triangle 4 slots later
+    assert np.allclose(off[:, 1], np.roll(off[:, 0], 4))
+    with pytest.raises(ValueError):
+        costs.trot_schedule(pc, "go1", duty=0.9)
