@@ -303,16 +303,24 @@ def load_model(source: str, dtype=jnp.float32, **overrides) -> Model:
     geom_meta: List[dict] = []
 
     def add_sphere(body_idx, pos, radius, friction, name, mesh_verts=None,
-                   solref=None):
+                   solref=None, solimp=None):
         # MJCF "direct" convention: solref="-k -d" sets an explicit contact
         # stiffness/damping (used by go1.xml-style soft foot pads)
         k = d = None
         if solref is not None and solref[0] < 0:
             k, d = -solref[0], -solref[1]
+        # solimp="dmin dmax width [...]": progressive contact impedance —
+        # force ramps from dmin*k*pen at touchdown to k*pen at pen >= width
+        # (power-1 approximation of MuJoCo's sigmoid; op-graph engine only,
+        # see physics/dynamics.contact_terms and model.geom_imp_dmin)
+        imp_dmin = imp_width = None
+        if solimp is not None:
+            imp_dmin, imp_width = float(solimp[0]), float(solimp[2])
         geom_meta.append(
             dict(body=body_idx, pos=np.asarray(pos, dtype=np.float64),
                  radius=float(radius), friction=friction, name=name,
-                 mesh_verts=mesh_verts, stiffness=k, damping=d)
+                 mesh_verts=mesh_verts, stiffness=k, damping=d,
+                 imp_dmin=imp_dmin, imp_width=imp_width)
         )
 
     def handle_geom(attrs: Dict[str, str], body_idx: Optional[int],
@@ -342,6 +350,7 @@ def load_model(source: str, dtype=jnp.float32, **overrides) -> Model:
         name = attrs.get("name", "")
         fromto = _parse_floats(attrs.get("fromto"), 6)
         solref = _parse_floats(attrs.get("solref"), 2)
+        solimp = _parse_floats(attrs.get("solimp"), 3)
 
         if body is None:
             if gtype == "box":
@@ -366,7 +375,7 @@ def load_model(source: str, dtype=jnp.float32, **overrides) -> Model:
                 verts_b = verts @ R.T + pos
                 centroid = verts_b.mean(0)
                 brad = float(np.linalg.norm(verts_b - centroid, axis=1).max())
-                add_sphere(body_idx, centroid, brad, fr, name, mesh_verts=verts_b, solref=solref)
+                add_sphere(body_idx, centroid, brad, fr, name, mesh_verts=verts_b, solref=solref, solimp=solimp)
             return
 
         if gtype in ("capsule", "cylinder") and fromto is not None:
@@ -397,7 +406,7 @@ def load_model(source: str, dtype=jnp.float32, **overrides) -> Model:
         if not collidable:
             return
         if gtype == "sphere":
-            add_sphere(body_idx, pos, size[0], fr, name, solref=solref)
+            add_sphere(body_idx, pos, size[0], fr, name, solref=solref, solimp=solimp)
         elif gtype in ("capsule", "cylinder"):
             if fromto is not None:
                 p1, p2, r = fromto[:3], fromto[3:], float(size[0])
@@ -406,10 +415,10 @@ def load_model(source: str, dtype=jnp.float32, **overrides) -> Model:
                 axis = R @ np.array([0.0, 0, 1])
                 hl = float(size[1])
                 p1, p2, r = pos - axis * hl, pos + axis * hl, float(size[0])
-            add_sphere(body_idx, p1, r, fr, name, solref=solref)
-            add_sphere(body_idx, p2, r, fr, name, solref=solref)
+            add_sphere(body_idx, p1, r, fr, name, solref=solref, solimp=solimp)
+            add_sphere(body_idx, p2, r, fr, name, solref=solref, solimp=solimp)
         elif gtype == "box":
-            add_sphere(body_idx, pos, float(np.min(size[:3])), fr, name, solref=solref)
+            add_sphere(body_idx, pos, float(np.min(size[:3])), fr, name, solref=solref, solimp=solimp)
 
     def walk(elem: ET.Element, parent_idx: Optional[int], active_cls: str,
              parent_static: bool, static_offset: np.ndarray):
@@ -720,6 +729,14 @@ def build_model(
         geom_stiffness=f32([
             g.get("stiffness") or contact_stiffness for g in geom_meta
         ]),
+        geom_imp_dmin=(f32([g.get("imp_dmin") if g.get("imp_dmin")
+                            is not None else 1.0 for g in geom_meta])
+                       if any(g.get("imp_dmin") is not None
+                              for g in geom_meta) else None),
+        geom_imp_width=(f32([g.get("imp_width") if g.get("imp_width")
+                             is not None else 1.0 for g in geom_meta])
+                        if any(g.get("imp_width") is not None
+                               for g in geom_meta) else None),
         geom_damping=f32([
             g.get("damping") or contact_damping for g in geom_meta
         ]),

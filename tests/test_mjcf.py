@@ -100,3 +100,44 @@ def test_terrain_scene_hfield():
     m = load_opendog("terrain")
     assert (m.hfield_nrow, m.hfield_ncol) == (100, 100)
     np.testing.assert_allclose(np.asarray(m.hfield_size), [5.0, 5.0, 0.3, 0.001])
+
+
+def test_geom_solimp_parsed_and_applied():
+    """solimp="dmin dmax width" parses into the progressive-impedance
+    model fields (power-1 MuJoCo semantics, go1.xml:62 foot pads) and
+    measurably softens contact; models without solimp keep None fields
+    (crisp penalty, byte-identical behavior)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opendog_tpu.physics import dynamics, make_state
+    from opendog_tpu.physics.mjcf import load_model
+
+    xml = """<mujoco model="t">
+      <option timestep="0.002"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="0 0 .05"/>
+        <body name="b" pos="0 0 0.3">
+          <freejoint/>
+          <inertial pos="0 0 0" mass="1.0" diaginertia="0.01 0.01 0.01"/>
+          <geom name="ball" type="sphere" size="0.05" mass="0"
+                solref="-2000 -50" solimp="0.02 1 0.01"/>
+        </body>
+      </worldbody>
+      <keyframe><key name="home" qpos="0 0 0.3 1 0 0 0"/></keyframe>
+    </mujoco>"""
+    m = load_model(xml)
+    assert np.allclose(np.asarray(m.geom_imp_dmin), [0.02])
+    assert np.allclose(np.asarray(m.geom_imp_width), [0.01])
+    m0 = load_model(xml.replace(' solimp="0.02 1 0.01"', ""))
+    assert m0.geom_imp_dmin is None and m0.geom_imp_width is None
+
+    def settle(model):
+        s = make_state(model, "home")
+        s2, _ = jax.jit(lambda st: dynamics.step(
+            model, st, jnp.zeros((0,)), None, n_substeps=400))(s)
+        return float(s2.qpos[2])
+
+    z_soft, z_crisp = settle(m), settle(m0)
+    assert np.isfinite(z_soft) and np.isfinite(z_crisp)
+    assert z_soft < z_crisp - 1e-4, (z_soft, z_crisp)
