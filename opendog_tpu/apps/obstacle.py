@@ -111,3 +111,59 @@ class ObstacleAvoider:
             self.state = AvoidState.WALKING
             self.target_yaw = self.base_target_yaw
         return self.target_yaw
+
+
+def render_avoidance_frame(points_robot: np.ndarray,
+                           obstacle_centers: np.ndarray,
+                           avoider: "ObstacleAvoider",
+                           orbit_deg: float = 210.0,
+                           width: int = 480, height: int = 360
+                           ) -> np.ndarray:
+    """Headless scene view of the avoidance loop — the display half of the
+    reference's pyray window (obstacle.py's live cloud + cluster + robot
+    view), rendered by the point-cloud visualizer:
+
+      * scene cloud height-colored,
+      * detected obstacle cells as RED pillars,
+      * the heading corridor as two WHITE rails from the robot,
+      * the robot as a GREEN pillar at the origin.
+
+    All robot-frame; returns (H, W, 3) uint8 (stream with
+    ``pointcloud_viz.serve_mjpeg_frames`` for the live-window analog)."""
+    from .pointcloud_viz import render_cloud_frame
+
+    pts = np.asarray(points_robot, np.float64).reshape(-1, 3)
+    pts = pts[np.isfinite(pts).all(1)]
+    from .pointcloud_viz import _height_colors
+
+    parts = [pts]
+    cols = [_height_colors(pts[:, 2]) if len(pts) else
+            np.zeros((0, 3), np.uint8)]
+    cen = np.asarray(obstacle_centers)
+    cen = cen[np.isfinite(cen).all(1)] if cen.size else cen.reshape(0, 2)
+    if len(cen):
+        zs = np.linspace(0.0, 0.35, 8)
+        pillars = np.concatenate(
+            [np.concatenate([np.repeat(cen, len(zs), 0),
+                             np.tile(zs, len(cen))[:, None]], 1)])
+        parts.append(pillars)
+        cols.append(np.tile(np.array([[255, 60, 50]], np.uint8),
+                            (len(pillars), 1)))
+    # heading corridor rails (robot frame: +x is the walk direction)
+    xs = np.linspace(0.05, avoider.trigger_dist, 20)
+    for side in (-1.0, 1.0):
+        rail = np.stack([xs, np.full_like(xs, side
+                                          * avoider.corridor_halfwidth),
+                         np.full_like(xs, 0.02)], 1)
+        parts.append(rail)
+        cols.append(np.tile(np.array([[235, 235, 235]], np.uint8),
+                            (len(rail), 1)))
+    robot = np.stack([np.zeros(6), np.zeros(6),
+                      np.linspace(0.0, 0.25, 6)], 1)
+    parts.append(robot)
+    cols.append(np.tile(np.array([[60, 255, 80]], np.uint8), (6, 1)))
+    allpts = np.concatenate(parts)
+    allcols = np.concatenate(cols)
+    return render_cloud_frame(allpts, orbit_deg=orbit_deg,
+                              width=width, height=height,
+                              colors=allcols)

@@ -86,12 +86,14 @@ def render_cloud_frame(points_world: np.ndarray,
                        orbit_deg: float = 30.0,
                        elev: float = 0.6,
                        radius: Optional[float] = None,
-                       width: int = 480, height: int = 360
+                       width: int = 480, height: int = 360,
+                       colors: Optional[np.ndarray] = None
                        ) -> np.ndarray:
     """One orbit-camera view of a world point cloud -> (H, W, 3) uint8.
 
-    Points are height-colored; ``traj_xy`` (T, 2) draws the robot's
-    path in white on the ground plane."""
+    Points are height-colored (or take explicit per-point ``colors``
+    (N, 3) uint8); ``traj_xy`` (T, 2) draws the robot's path in white
+    on the ground plane."""
     pts = np.asarray(points_world, np.float64).reshape(-1, 3)
     if pts.shape[0] == 0:
         return np.zeros((height, width, 3), np.uint8)
@@ -106,7 +108,9 @@ def render_cloud_frame(points_world: np.ndarray,
     img[:] = (12, 14, 22)  # dark background, pyray-viewer style
     zbuf = np.full((height, width), np.inf)
     u, v, z, ok = project_points(pts, eye, center, width, height)
-    _splat(img, zbuf, u[ok], v[ok], z[ok], _height_colors(pts[ok, 2]))
+    cols = (_height_colors(pts[:, 2]) if colors is None
+            else np.asarray(colors, np.uint8))
+    _splat(img, zbuf, u[ok], v[ok], z[ok], cols[ok])
     if traj_xy is not None and len(traj_xy):
         tr = np.asarray(traj_xy, np.float64)
         tr3 = np.concatenate(

@@ -143,3 +143,34 @@ def test_depth_stream_and_normalize():
     # constant depth map normalises to zeros, not NaN
     flat = depth_mod.normalize_depth(np.full((3, 3), 7.0))
     assert (flat == 0).all()
+
+
+def test_obstacle_avoidance_frame_renders():
+    """The headless scene view of the avoidance loop (the reference's
+    pyray display half): obstacle pillars red, corridor rails white,
+    robot green — all present in the rendered frame."""
+    import numpy as np
+    import jax
+
+    from opendog_tpu.apps.obstacle import (
+        ObstacleAvoider, detect_obstacles, render_avoidance_frame,
+    )
+
+    rng = np.random.default_rng(1)
+    floor = np.stack([rng.uniform(0, 2, 3000), rng.uniform(-1, 1, 3000),
+                      rng.normal(0, 0.01, 3000)], 1)
+    box = np.stack([rng.uniform(0.55, 0.7, 400),
+                    rng.uniform(-0.08, 0.08, 400),
+                    rng.uniform(0.05, 0.3, 400)], 1)
+    pts = np.concatenate([floor, box]).astype(np.float32)
+    centers, counts = jax.jit(detect_obstacles)(pts)
+    av = ObstacleAvoider()
+    av.start(0.0)
+    av.update(np.asarray(centers), 0.0)
+    img = render_avoidance_frame(pts, np.asarray(centers), av)
+    assert img.shape == (360, 480, 3)
+    red = (img[..., 0].astype(int) - img[..., 2].astype(int) > 120).sum()
+    green = (img[..., 1].astype(int) - img[..., 0].astype(int) > 120).sum()
+    assert red > 5, f"no obstacle pillars rendered ({red})"
+    assert green > 2, f"no robot marker rendered ({green})"
+    assert (img.min(-1) > 200).any(), "no corridor rails"
