@@ -315,7 +315,9 @@ def main():
         U = jnp.tile(jnp.asarray(m.key_ctrl[0])[None], (icfg.horizon, 1))
         plant, U, traj = cycle(s, U); fetch(traj["qpos"])
         x0 = float(np.asarray(plant.qpos)[0])
-        n_cycles = 7
+        # 10 measured cycles (5 s of locomotion) — the VERDICT r4 item-2
+        # acceptance window
+        n_cycles = 10
         t0 = time.time()
         trajs = []
         for _ in range(n_cycles):
