@@ -40,11 +40,16 @@ def build_pallas_substep(
     fused substeps per kernel invocation.  With ``with_plane=True`` each
     lane carries its own contact plane (nx, ny, nz, d) — the local-plane
     terrain approximation and per-scenario ground randomization hook.
-    With ``with_payload=True`` each lane carries a payload mass [kg]
-    rigidly attached at the trunk origin."""
+    With ``with_plane="per_geom"`` the plane input is ``(4 * ngeom, K)``:
+    an independent tangent plane per collision geom (rows 4g..4g+3), so
+    every paw contacts the terrain under ITS OWN position — see
+    ``scalar_core.build_substep``.  With ``with_payload=True`` each lane
+    carries a payload mass [kg] rigidly attached at the trunk origin."""
     substep = scalar_core.build_substep(model, dt, with_plane=with_plane,
                                         with_payload=with_payload)
     nq, nv, nu = model.nq, model.nv, model.nu
+    plane_rows = (4 * model.ngeom if with_plane == "per_geom"
+                  else 4 if with_plane else 0)
 
     def kernel(*refs):
         refs = list(refs)
@@ -55,7 +60,7 @@ def build_pallas_substep(
         payload = None
         if with_plane:
             plane_ref = refs.pop(0)
-            plane = tuple(plane_ref[i, :] for i in range(4))
+            plane = tuple(plane_ref[i, :] for i in range(plane_rows))
         if with_payload:
             payload = refs.pop(0)[0, :]
         qpos_out, qvel_out = refs
@@ -86,8 +91,8 @@ def build_pallas_substep(
         in_specs = [spec(nq), spec(nv), spec(nu)]
         args = [qpos, qvel, ctrl]
         if with_plane:
-            assert plane is not None and plane.shape == (4, K)
-            in_specs.append(spec(4))
+            assert plane is not None and plane.shape == (plane_rows, K)
+            in_specs.append(spec(plane_rows))
             args.append(plane)
         if with_payload:
             assert payload is not None and payload.shape == (1, K)

@@ -218,7 +218,15 @@ def build_substep(model: Model, dt: float,
     per-lane contact plane {x : n.x = d} (n unit).  This is the
     local-plane terrain approximation for fused terrain rollouts (the
     exact bilinear-hfield contact stays on the op-graph path,
-    physics/dynamics.py:547).  With ``with_payload=True`` an extra lane
+    physics/dynamics.py:547).  With ``with_plane="per_geom"`` the plane
+    argument carries ``4 * ngeom`` lane vectors — an independent tangent
+    plane per collision geom (rows ``4g..4g+3`` = nx, ny, nz, d of geom
+    g) — so each paw contacts the terrain's local plane at ITS OWN
+    position instead of the trunk's: strictly higher-fidelity terrain
+    rollouts, and accurate enough (refreshed per 50 Hz tick) to serve as
+    the PLANT path (see ``mpc.make_mpc(terrain_plant="kernel")``; the
+    trajectory deviation vs exact bilinear contact is pinned in
+    tests/test_pallas_core.py).  With ``with_payload=True`` an extra lane
     vector carries a per-scenario payload mass [kg] — a point mass rigidly
     attached at the trunk origin (domain randomization over carried
     load)."""
@@ -296,7 +304,10 @@ def build_substep(model: Model, dt: float,
         one = zero + 1.0
         if not with_payload:
             payload = None
-        if with_plane:
+        per_geom = with_plane == "per_geom"
+        if per_geom:
+            pn, pd = None, None    # resolved per geom in the contact loop
+        elif with_plane:
             pn = (plane[0], plane[1], plane[2])
             pd = plane[3]
         else:
@@ -546,20 +557,25 @@ def build_substep(model: Model, dt: float,
 
         for g in range(model.ngeom):
             b = int(geom_body[g])
+            if per_geom:
+                png = (plane[4 * g], plane[4 * g + 1], plane[4 * g + 2])
+                pdg = plane[4 * g + 3]
+            else:
+                png, pdg = pn, pd
             center = v_add(
                 xpos[b], m3_apply(Rb[b], tuple(float(v) for v in geom_pos[g]))
             )
-            phi = pdot(center, pn) - pd - float(geom_radius[g])
+            phi = pdot(center, png) - pdg - float(geom_radius[g])
             pen = min_(max_(zero - phi, 0.0), 0.05)
             active = where_(phi < 0.0, one, zero)
             fn = min_(float(geom_k[g]) * pen, 1e4)
             # contact point: sphere surface point along -n
-            pt = pscale_sub(center, float(geom_radius[g]), pn)
+            pt = pscale_sub(center, float(geom_radius[g]), png)
             r = v_sub(pt, origin)
             w, vo = V[b]
             vpt = v_add(vo, v_cross(w, r))
             if with_plane:
-                vn = pdot(vpt, pn)
+                vn = pdot(vpt, png)
                 vsq = (vpt[0] * vpt[0] + vpt[1] * vpt[1]
                        + vpt[2] * vpt[2])
                 vt_norm = sqrt_(max_(vsq - vn * vn, 0.0) + 1e-12)
@@ -575,7 +591,7 @@ def build_substep(model: Model, dt: float,
             for j in dofs:
                 sa, sl = S[j]
                 Jr[j] = v_add(sl, v_cross(sa, r))
-                Jn[j] = pdot(Jr[j], pn)
+                Jn[j] = pdot(Jr[j], png)
             # qfrc += J^T (fn * n)
             for j in dofs:
                 qfrc[j] = qfrc[j] + Jn[j] * (fn * active)

@@ -583,6 +583,31 @@ def _terrain_height_normal(model: Model, terrain: Optional[Terrain], xy: jax.Arr
     return h, n
 
 
+def geom_local_planes(model: Model, terrain: Optional[Terrain],
+                      qpos: jax.Array) -> jax.Array:
+    """(ngeom, 4) terrain tangent plane ``(nx, ny, nz, d)`` under each
+    collision geom's current center (plane {x : n.x = d}, n unit).
+
+    This feeds the fused kernel's ``with_plane="per_geom"`` mode: each paw
+    contacts the terrain's local plane at ITS OWN xy instead of sharing
+    the trunk's — the highest-fidelity terrain representation the fused
+    kernel admits (planes are constant within a kernel invocation).
+    Refreshed once per 50 Hz tick from the plant state it is accurate to
+    the terrain's curvature over one tick of paw travel (~mm); the
+    trajectory deviation vs exact bilinear contact is pinned in
+    tests/test_pallas_core.py."""
+    xpos, xquat = fk(model, qpos)
+    R = spatial.quat_to_mat(xquat)
+    gb = model.geom_body
+    centers = jnp.take(xpos, gb, axis=0) + jnp.einsum(
+        "gij,gj->gi", jnp.take(R, gb, axis=0), model.geom_pos
+    )
+    h, n = _terrain_height_normal(model, terrain, centers[:, :2])
+    p0 = jnp.stack([centers[:, 0], centers[:, 1], h], axis=-1)
+    d = jnp.sum(n * p0, axis=-1)
+    return jnp.concatenate([n, d[:, None]], axis=-1)
+
+
 def _contact_geometry(
     model: Model,
     xpos: jax.Array,

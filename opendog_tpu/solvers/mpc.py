@@ -31,14 +31,41 @@ class MPCCarry:
     ctrl_queue: jax.Array = struct.field(default=0)
 
 
-def _make_plant_step(model, config, plant_substeps, terrain):
+def _make_plant_step(model, config, plant_substeps, terrain,
+                     terrain_plant: str = "exact"):
     """One 50 Hz plant tick (plant_substeps physics substeps).
 
     With the fused engine the plant integrates through the Pallas kernel
     too: on TPU the op-graph path's default-precision MXU matmuls cost
     ~7e-3 qvel error per substep (vs 3e-6 for the fused f32 VPU kernel),
-    and planner/plant engine mismatch makes the robot slide."""
-    if config.engine == "pallas" and terrain is None:
+    and planner/plant engine mismatch makes the robot slide.
+
+    ``terrain_plant`` picks the terrain plant integrator:
+      * ``"exact"`` (default) — op-graph XLA step with exact bilinear
+        hfield contact.  The fidelity reference, but the op-overhead-bound
+        XLA substep is ~86% of the terrain MPC tick
+        (runs/terrain_profile/metrics.json).
+      * ``"kernel"`` — the fused Pallas kernel with PER-GEOM local planes
+        (``with_plane="per_geom"``) refreshed from the plant state every
+        tick: each paw contacts the terrain's tangent plane at its own xy.
+        Trajectory deviation vs "exact" is pinned in
+        tests/test_pallas_core.py; use for throughput-bound loops."""
+    if config.engine == "pallas" and terrain is not None \
+            and terrain_plant == "kernel":
+        from ..ops.pallas_step import build_pallas_substep
+
+        plant_sub = build_pallas_substep(
+            model, float(model.timestep), k_tile=1,
+            n_substeps=plant_substeps, with_plane="per_geom",
+        )
+
+        def plant_step(st: State, ctrl):
+            planes = dynamics.geom_local_planes(model, terrain, st.qpos)
+            qp, qv = plant_sub(st.qpos[:, None], st.qvel[:, None],
+                               ctrl[:, None], planes.reshape(-1)[:, None])
+            t2 = st.time + plant_substeps * float(model.timestep)
+            return State(qpos=qp[:, 0], qvel=qv[:, 0], time=t2)
+    elif config.engine == "pallas" and terrain is None:
         from ..ops.pallas_step import build_pallas_substep
 
         plant_sub = build_pallas_substep(
@@ -71,6 +98,8 @@ def make_mpc(
     sample_axis: str = "mp",
     ctrl_lag: int = 0,
     lag_compensation: bool = False,
+    terrain_plant: str = "exact",
+    plane_mode: str = "trunk",
 ):
     """Returns (init(key, physics_state) -> carry, tick(carry) -> (carry,
     info), run(carry, n) -> (carry, traj)).  ``mesh`` shards the MPPI
@@ -94,8 +123,10 @@ def make_mpc(
     (final_x 4.27-4.42 m, zero falls, vx_rmse ~= lag-0's 0.169 —
     runs/lag_sweep/metrics_compensated.json)."""
     solve = mppi.make_solver(model, step_cost, config, terrain=terrain,
-                             mesh=mesh, sample_axis=sample_axis)
-    plant_step = _make_plant_step(model, config, plant_substeps, terrain)
+                             mesh=mesh, sample_axis=sample_axis,
+                             plane_mode=plane_mode)
+    plant_step = _make_plant_step(model, config, plant_substeps, terrain,
+                                  terrain_plant=terrain_plant)
 
     rng = np.asarray(model.actuator_ctrlrange, np.float32)
     hold_ctrl = np.clip(np.asarray(model.key_ctrl[0], np.float32),

@@ -76,6 +76,7 @@ def make_solver(
     with_command: bool = False,
     u_ref_fn: Optional[Callable] = None,
     anchor_w: float = 0.0,
+    plane_mode: str = "trunk",
 ):
     """Build ``solve(physics_state, mppi_state, key) -> (ctrl, mppi_state',
     stats)``.  Jit (or vmap for batched scenarios) the returned function.
@@ -114,6 +115,15 @@ def make_solver(
     (nu,)`` or, with ``with_command=True``, ``(t, cmd) -> (nu,)``
     (arity-detected).  ``anchor_w = 0`` (default) is the exact unanchored
     solver.
+
+    ``plane_mode`` (terrain + engine="pallas" only) picks the kernel's
+    local-plane terrain representation for the rollouts: ``"trunk"``
+    (default, the committed bench-2c semantics) evaluates ONE tangent
+    plane at the trunk's xy shared by all paws; ``"per_geom"`` gives
+    every collision geom the terrain's tangent plane at its own xy
+    (``with_plane="per_geom"`` — strictly higher fidelity on slopes,
+    where the shared trunk plane biases the pitch equilibrium; ~zero
+    extra cost, the plane rows are constants within the solve).
 
     PERF: keep the receding-horizon loop ON-DEVICE (``lax.scan`` over
     ticks, as ``make_mpc(...).run`` does).  Feeding the returned
@@ -185,18 +195,29 @@ def make_solver(
         from ..ops.pallas_step import build_pallas_substep
 
         k_tile = K_local if K_local < 256 else 256
+        if terrain is not None and plane_mode == "per_geom":
+            kernel_plane_mode = "per_geom"
+        else:
+            kernel_plane_mode = terrain is not None
         psub = build_pallas_substep(
             rollout_model, float(rollout_model.timestep),
             k_tile=k_tile, n_substeps=config.n_substeps,
-            with_plane=terrain is not None,
+            with_plane=kernel_plane_mode,
             with_payload=with_payload,
         )
 
     def _local_plane(state: State, k: int) -> jax.Array:
-        """(4, k) per-lane contact plane: the terrain's tangent plane at
-        the plant position — the local-plane approximation that keeps
+        """Per-lane contact plane(s): the terrain's tangent plane(s) under
+        the solve-from state — the local-plane approximation that keeps
         terrain rollouts on the fused kernel (exact bilinear contact
-        remains on the plant/op-graph path)."""
+        remains on the plant/op-graph path).  ``plane_mode="trunk"``:
+        (4, k), one plane at the trunk xy shared by all geoms;
+        ``"per_geom"``: (4*ngeom, k), each geom's own tangent plane."""
+        if plane_mode == "per_geom":
+            planes = dynamics.geom_local_planes(
+                rollout_model, terrain, state.qpos
+            )  # (ngeom, 4)
+            return jnp.tile(planes.reshape(-1)[:, None], (1, k))
         h, n = dynamics._terrain_height_normal(
             rollout_model, terrain, state.qpos[None, :2]
         )

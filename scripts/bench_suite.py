@@ -165,6 +165,54 @@ def main():
                trunk_z=round(float(q[2]), 3),
                all_finite=bool(np.isfinite(q).all()))
 
+    # ---- config 2c_pergeom: the same terrain MPC with BOTH sides on the
+    # fused kernel — rollouts use PER-GEOM local planes (each paw contacts
+    # the terrain's tangent plane at its own xy, strictly higher fidelity
+    # than 2c's shared trunk plane) and the plant integrates on the kernel
+    # with those planes refreshed every 50 Hz tick
+    # (make_mpc(terrain_plant="kernel")).  2c's exact-bilinear plant is
+    # 86% of its tick (runs/terrain_profile/metrics.json); this entry
+    # closes that gap and records the final-state deviation vs the exact
+    # plant from the same start as the honesty check (single-substep
+    # kernel-vs-exact equivalence is pinned in tests/test_pallas_core.py).
+    if "2cp" not in args.skip and jax.default_backend() != "cpu":
+        from opendog_tpu.physics import terrain as terrain_lib
+
+        m = load_opendog("terrain")
+        terr = terrain_lib.generate_terrain(jax.random.PRNGKey(5), m)
+        cost = costs.standing_cost(m, 0.0694 + 0.151,
+                                   np.asarray(m.key_qpos[0])[7:])
+        cfg = MPPIConfig(horizon=25, num_samples=256, n_substeps=2,
+                         rollout_dt=0.01, noise_sigma=0.08,
+                         engine="pallas")
+        s0 = make_state(m, "home")
+        s0 = s0.replace(qpos=s0.qpos.at[2].add(0.151))
+        init, tick, run = make_mpc(m, cost, cfg, plant_substeps=10,
+                                   terrain=terr, terrain_plant="kernel",
+                                   plane_mode="per_geom")
+        carry = init(jax.random.PRNGKey(0), s0)
+        jrun = jax.jit(lambda c: run(c, 100))
+        carry, traj = jrun(carry); fetch(traj["qpos"])
+        t0 = time.time()
+        carry, traj = jrun(carry)
+        fetch(traj["qpos"])
+        dt = time.time() - t0
+        q = np.asarray(carry.plant.qpos)
+        # deviation check: the exact-bilinear plant loop from the same
+        # start (the 2c configuration), same tick count
+        init_e, _, run_e = make_mpc(m, cost, cfg, plant_substeps=10,
+                                    terrain=terr)
+        carry_e = init_e(jax.random.PRNGKey(0), s0)
+        jrun_e = jax.jit(lambda c: run_e(c, 200))
+        carry_e, _ = jrun_e(carry_e); fetch(carry_e.plant.qpos)
+        qe = np.asarray(carry_e.plant.qpos)
+        record("2c_pergeom_kernel_plant",
+               solves_per_sec=round(100 / dt, 1),
+               trunk_z=round(float(q[2]), 3),
+               all_finite=bool(np.isfinite(q).all()),
+               final_dev_vs_exact_plant_m=round(
+                   float(np.linalg.norm(q[:3] - qe[:3])), 4))
+
     # ---- config 2d: payload-aware trot MPPI (plans WITH a 1.5 kg
     # carried load on the kernel's payload lanes) ----
     if "2d" not in args.skip and jax.default_backend() != "cpu":

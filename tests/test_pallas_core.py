@@ -153,6 +153,135 @@ def test_mini_payload_kernel_physics():
     assert dv_h < dv_l  # heavier trunk reacts less to the same torques
 
 
+def _ramp_terrain_mini(slope=0.08, n=9, half=2.0):
+    """Mini model + a LINEAR x-ramp heightfield.  On a linear surface the
+    per-geom tangent planes ARE the surface, so the plane kernel and the
+    exact-bilinear op-graph contact see identical geometry."""
+    from opendog_tpu.physics import Terrain
+
+    m = load_mini().replace(
+        hfield_size=jnp.asarray([half, half, 1.0, 0.0], jnp.float32))
+    xs = np.linspace(-half, half, n, dtype=np.float32)
+    height = np.tile(slope * xs[None, :], (n, 1))  # row ~ y, col ~ x
+    return m, Terrain(height=jnp.asarray(height))
+
+
+def test_mini_pergeom_plane_matches_lane_plane_when_equal():
+    """with_plane="per_geom" fed the SAME plane for every geom must
+    reproduce the per-lane plane kernel exactly (same scalar graph, same
+    ordering)."""
+    from opendog_tpu.ops.pallas_step import build_pallas_substep
+
+    m = load_mini()
+    K = 8
+    qpos, qvel, ctrl = _random_batch(m, K, seed=7)
+    qp, qv, ct = (jnp.asarray(qpos.T), jnp.asarray(qvel.T),
+                  jnp.asarray(ctrl.T))
+    lane = build_pallas_substep(m, m.timestep, k_tile=K, interpret=True,
+                                with_plane=True)
+    pg = build_pallas_substep(m, m.timestep, k_tile=K, interpret=True,
+                              with_plane="per_geom")
+    n = np.array([0.1, -0.05, 1.0])
+    n = n / np.linalg.norm(n)
+    row = np.array([n[0], n[1], n[2], -0.02], np.float32)
+    lane_plane = jnp.tile(jnp.asarray(row)[:, None], (1, K))
+    pg_plane = jnp.tile(jnp.asarray(np.tile(row, m.ngeom))[:, None], (1, K))
+    qp_l, qv_l = lane(qp, qv, ct, lane_plane)
+    qp_g, qv_g = pg(qp, qv, ct, pg_plane)
+    # same scalar graph up to compiler reassociation (different operand
+    # packing changes fusion order): agreement to 1e-4 on qvel rows whose
+    # magnitudes reach ~1e2
+    np.testing.assert_allclose(np.asarray(qp_g), np.asarray(qp_l),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qv_g), np.asarray(qv_l),
+                               atol=1e-4)
+
+
+def test_geom_local_planes_on_ramp():
+    """geom_local_planes returns each geom's tangent plane; on a linear
+    ramp every plane is the ramp itself: n ∝ (-s, 0, 1), d = 0."""
+    m, terr = _ramp_terrain_mini(slope=0.08)
+    s0 = make_state(m, "home")
+    planes = np.asarray(dynamics.geom_local_planes(m, terr, s0.qpos))
+    assert planes.shape == (m.ngeom, 4)
+    n_ref = np.array([-0.08, 0.0, 1.0])
+    n_ref = n_ref / np.linalg.norm(n_ref)
+    np.testing.assert_allclose(planes[:, :3], np.tile(n_ref, (m.ngeom, 1)),
+                               atol=1e-5)
+    np.testing.assert_allclose(planes[:, 3], 0.0, atol=1e-5)
+
+
+def test_mini_pergeom_kernel_substep_matches_exact_bilinear_on_ramp():
+    """One substep of the per-geom plane kernel vs the exact-bilinear
+    op-graph path from a batch of random states on the ramp.  On a linear
+    surface the per-geom tangent planes ARE the surface, so this isolates
+    the contact-model agreement: measured max qvel error 7.6e-5 (multi-
+    tick trajectory comparison is meaningless here — the 2-leg mini
+    TUMBLES on a slope, so chaos amplifies float noise; the stable-robot
+    trajectory deviation is measured on the opendog terrain bench,
+    scripts/bench_suite.py config 2c_pergeom)."""
+    from opendog_tpu.ops.pallas_step import build_pallas_substep
+    from opendog_tpu.physics import State
+
+    m, terr = _ramp_terrain_mini(slope=0.08)
+    K = 8
+    rng = np.random.default_rng(2)
+    qpos = np.tile(np.asarray(m.key_qpos[0]), (K, 1)).astype(np.float32)
+    qpos[:, :3] += rng.normal(0, 0.01, (K, 3))
+    qpos[:, 0] += rng.uniform(-1, 1, K)   # spread along the ramp
+    qpos[:, 7:] += rng.normal(0, 0.05, (K, m.nq - 7))
+    qvel = rng.normal(0, 0.2, (K, m.nv)).astype(np.float32)
+    lo, hi = np.asarray(m.actuator_ctrlrange).T
+    ctrl = rng.uniform(lo, hi, (K, m.nu)).astype(np.float32)
+
+    st = State(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
+               time=jnp.zeros(K))
+    ref, _ = jax.jit(jax.vmap(
+        lambda a, c: dynamics.step(m, a, c, terr, n_substeps=1)))(
+        st, jnp.asarray(ctrl))
+    psub = build_pallas_substep(m, m.timestep, k_tile=K, n_substeps=1,
+                                interpret=True, with_plane="per_geom")
+    planes = jax.vmap(
+        lambda q: dynamics.geom_local_planes(m, terr, q))(st.qpos)
+    qp2, qv2 = psub(jnp.asarray(qpos.T), jnp.asarray(qvel.T),
+                    jnp.asarray(ctrl.T), planes.reshape(K, -1).T)
+    np.testing.assert_allclose(np.asarray(qp2).T, np.asarray(ref.qpos),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(qv2).T, np.asarray(ref.qvel),
+                               atol=1e-3)
+
+
+def test_mini_mpc_terrain_kernel_plant_runs():
+    """make_mpc(terrain_plant="kernel", plane_mode="per_geom") wires the
+    whole terrain MPC loop through the fused kernel: finite states, and
+    the standing controller keeps the mini at stand height on a gentle
+    ramp (trajectory-matching the exact plant is not meaningful — the
+    closed loop amplifies integrator float noise; single-substep
+    equivalence is pinned above)."""
+    import opendog_tpu.ops.pallas_step as ps
+    from opendog_tpu.solvers import MPPIConfig, costs, make_mpc
+
+    m, terr = _ramp_terrain_mini(slope=0.02)
+    home_j = np.asarray(m.key_qpos[0])[7:]
+    cost = costs.standing_cost(m, 0.115, home_j)
+    cfg = MPPIConfig(horizon=4, num_samples=8, n_substeps=1,
+                     rollout_dt=0.004, noise_sigma=0.05, engine="pallas")
+    orig = ps.build_pallas_substep
+    try:
+        ps.build_pallas_substep = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        init, tick, run = make_mpc(m, cost, cfg, plant_substeps=5,
+                                   terrain=terr, terrain_plant="kernel",
+                                   plane_mode="per_geom")
+        carry = init(jax.random.PRNGKey(0), make_state(m, "home"))
+        carry, _ = jax.jit(lambda c: run(c, 10))(carry)
+        q = np.asarray(carry.plant.qpos)
+    finally:
+        ps.build_pallas_substep = orig
+    assert np.isfinite(q).all()
+    assert 0.07 < q[2] < 0.16  # still standing on its planes
+
+
 def test_mini_mppi_pallas_engine_interpret():
     """The engine='pallas' rollout path produces a finite plan that tracks
     the xla engine's plan on the same noise key (mini model, jitted)."""
