@@ -73,6 +73,46 @@ def test_sharded_mppi_multi_tick_stays_consistent(devices8):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_mppi_pergeom_terrain_matches_single_device(devices8):
+    """The terrain + per-geom-plane pallas path shards like the flat one:
+    8-device == 1-device (mini model, interpret kernels, linear ramp)."""
+    import opendog_tpu.ops.pallas_step as ps
+    from opendog_tpu.assets import load_mini
+    from opendog_tpu.physics import Terrain
+
+    m = load_mini().replace(
+        hfield_size=jnp.asarray([2.0, 2.0, 1.0, 0.0], jnp.float32))
+    xs = np.linspace(-2.0, 2.0, 9, dtype=np.float32)
+    terr = Terrain(height=jnp.asarray(np.tile(0.05 * xs[None, :], (9, 1))))
+    cost = costs.standing_cost(m, 0.115, np.asarray(m.key_qpos[0])[7:])
+    cfg = MPPIConfig(horizon=3, num_samples=16, n_substeps=1,
+                     rollout_dt=0.004, noise_sigma=0.05, engine="pallas")
+    state = make_state(m, "home")
+    key = jax.random.PRNGKey(3)
+    ms = mppi.init_state(m, cfg)
+    orig = ps.build_pallas_substep
+    try:
+        ps.build_pallas_substep = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        solve1 = jax.jit(mppi.make_solver(m, cost, cfg, terrain=terr,
+                                          plane_mode="per_geom"))
+        ctrl1, next1, stats1 = solve1(state, ms, key)
+        mesh = _mesh(8, "mp")
+        solveN = jax.jit(mppi.make_solver(m, cost, cfg, terrain=terr,
+                                          plane_mode="per_geom", mesh=mesh))
+        ctrlN, nextN, statsN = solveN(state, ms, key)
+    finally:
+        ps.build_pallas_substep = orig
+    np.testing.assert_allclose(np.asarray(ctrlN), np.asarray(ctrl1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nextN.nominal),
+                               np.asarray(next1.nominal),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(statsN["best_cost"]),
+                               float(stats1["best_cost"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def _random_vf_elems(key, L, nx):
     """Random (F, c, C, eta, J) blocks with SPD C/J so the compositions
     stay well-conditioned."""
