@@ -72,13 +72,30 @@ def main():
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     jtick = jax.jit(tick)
-    # warmup / compile
+    # warmup / compile, split so the record is interpretable (measured on
+    # the v5e tunnel, .scratch/cache_probe.py runs 2026-08-20):
+    #   * LOWERING is client-side tracing of the ~11 MB tick HLO plus the
+    #     one-time axon first-touch — ~115-130 s per process, cache can't
+    #     help;
+    #   * BACKEND COMPILE is what the persistent cache eliminates: 25 s
+    #     cold (good service weather; r04's 981 s was the same stage on a
+    #     bad day) vs 0.3 s on a cache hit (HLO fingerprints verified
+    #     stable across processes).
     log("compiling tick...")
+    t0 = time.time()
+    lowered = jtick.lower(carry)
+    lower_s = time.time() - t0
+    t0 = time.time()
+    lowered.compile()
+    backend_compile_s = time.time() - t0
     t0 = time.time()
     carry, out = jtick(carry)
     jax.block_until_ready(out["qpos"])
-    compile_s = time.time() - t0
-    log(f"tick compiled in {compile_s:.0f}s")
+    first_exec_s = time.time() - t0
+    compile_s = lower_s + backend_compile_s + first_exec_s
+    log(f"tick compiled in {compile_s:.0f}s (lower {lower_s:.0f}s, "
+        f"backend compile {backend_compile_s:.1f}s, first exec "
+        f"{first_exec_s:.1f}s)")
 
     # (a) host-in-the-loop latency at the 50 Hz budget.  Measured tunnel
     # semantics (.scratch/probe_tunnel.py, v5e over axon): dispatch is
@@ -176,8 +193,14 @@ def main():
         "rollouts_per_tick": rollouts_per_tick,
         "horizon_s": cfg.horizon * cfg.n_substeps * cfg.rollout_dt,
         "compile_s": round(compile_s, 1),
+        "lower_s": round(lower_s, 1),
+        "backend_compile_s": round(backend_compile_s, 1),
+        "first_exec_s": round(first_exec_s, 1),
         "xla_cache_entries_at_start": cache_entries,
-        "xla_cache_hit": bool(cache_entries > 0 and compile_s < 120.0),
+        # the cache eliminates the backend-compile stage only; lowering is
+        # client-side tracing and is paid per process regardless
+        "xla_cache_hit": bool(cache_entries > 0
+                              and backend_compile_s < 10.0),
         "plant_healthy": healthy,
         "final_x": round(float(qpos[0]), 3),
         "device": str(jax.devices()[0]),

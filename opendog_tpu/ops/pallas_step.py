@@ -34,6 +34,7 @@ def build_pallas_substep(
     interpret: bool = False,
     with_plane: bool = False,
     with_payload: bool = False,
+    unroll: bool = True,
 ):
     """Returns ``step(qpos (nq, K), qvel (nv, K), ctrl (nu, K)[, plane
     (4, K)][, payload (1, K)]) -> (qpos', qvel')`` running ``n_substeps``
@@ -67,8 +68,20 @@ def build_pallas_substep(
         qp = tuple(qpos_ref[i, :] for i in range(nq))
         qv = tuple(qvel_ref[i, :] for i in range(nv))
         ct = tuple(ctrl_ref[i, :] for i in range(nu))
-        for _ in range(n_substeps):
-            qp, qv = substep(qp, qv, ct, plane, payload)
+        if unroll or n_substeps == 1:
+            for _ in range(n_substeps):
+                qp, qv = substep(qp, qv, ct, plane, payload)
+        else:
+            # fori_loop keeps the kernel body at ONE substep graph: the
+            # unrolled plant kernel (n_substeps=10) traces ~10x the
+            # substep's ops, which dominates client-side LOWERING time of
+            # the MPC tick (~120 s on the tunnel); the loop form trades
+            # that for negligible on-chip loop overhead (the body is
+            # thousands of serial vector ops).
+            qp, qv = jax.lax.fori_loop(
+                0, n_substeps,
+                lambda _, c: substep(c[0], c[1], ct, plane, payload),
+                (qp, qv))
         for i in range(nq):
             qpos_out[i, :] = qp[i]
         for i in range(nv):

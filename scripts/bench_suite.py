@@ -532,7 +532,11 @@ def main():
                exact=fid["exact"],
                plane=fid[fid["plane_arm"]],
                distance_ratio=fid["distance_ratio_plane_vs_exact"],
-               cost_ratio=fid["cost_ratio_plane_vs_exact"])
+               cost_ratio=fid["cost_ratio_plane_vs_exact"],
+               per_geom=fid.get("per_geom"),
+               distance_ratio_pergeom=fid.get(
+                   "distance_ratio_pergeom_vs_exact"),
+               cost_ratio_pergeom=fid.get("cost_ratio_pergeom_vs_exact"))
 
     # ---- config 2f: the price of pipelining lag (VERDICT r2 item 5) —
     # bench-config trot MPC with the plant applying the solve from lag

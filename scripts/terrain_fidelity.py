@@ -92,12 +92,19 @@ def main(argv=None):
         return Terrain(height=jnp.asarray(grid, jnp.float32))
 
     def run_arm(engine_name, terr, seed, cost):
+        plane_mode = "trunk"
         if engine_name == "exact":
             cfg = MPPIConfig(engine="xla", **base_cfg)
             planner_terrain = terr
         elif engine_name == "local_plane":
             cfg = MPPIConfig(engine="pallas", **base_cfg)
             planner_terrain = terr   # pallas path re-planes per solve
+        elif engine_name == "per_geom":
+            # per-geom tangent planes (each paw's own local plane) — the
+            # highest-fidelity kernel terrain mode, with_plane="per_geom"
+            cfg = MPPIConfig(engine="pallas", **base_cfg)
+            planner_terrain = terr
+            plane_mode = "per_geom"
         else:  # static_plane (op-graph stand-in, crudest arm)
             cfg = MPPIConfig(engine="xla", **base_cfg)
             planner_terrain = static_plane(terr)
@@ -108,7 +115,8 @@ def main(argv=None):
         from opendog_tpu.physics import dynamics
         from opendog_tpu.solvers import mppi as mppi_mod
 
-        solve = mppi_mod.make_solver(m, cost, cfg, terrain=planner_terrain)
+        solve = mppi_mod.make_solver(m, cost, cfg, terrain=planner_terrain,
+                                     plane_mode=plane_mode)
 
         def tick(carry, _):
             st, ms, key, prev = carry
@@ -155,7 +163,8 @@ def main(argv=None):
             success=success,
         )
 
-    arms = ["exact", "local_plane" if use_pallas_plane else "static_plane"]
+    arms = (["exact", "local_plane", "per_geom"] if use_pallas_plane
+            else ["exact", "static_plane"])
     per_arm = {a: [] for a in arms}
     for seed in seeds:
         terr, k = rough_terrain(seed)
@@ -186,16 +195,25 @@ def main(argv=None):
         "ticks": ticks,
         "plane_arm": plane_arm,
         "exact": agg(per_arm["exact"]),
-        plane_arm: agg(per_arm[plane_arm]),
         "per_seed": per_arm,
         "device": str(jax.devices()[0]),
     }
+    for a in arms[1:]:
+        summary[a] = agg(per_arm[a])
     e, q = summary["exact"], summary[plane_arm]
     summary["distance_ratio_plane_vs_exact"] = round(
         q["final_x_mean"] / e["final_x_mean"], 3) if e["final_x_mean"] else None
     summary["cost_ratio_plane_vs_exact"] = round(
         q["realized_cost_mean"] / e["realized_cost_mean"], 3) \
         if e["realized_cost_mean"] else None
+    if "per_geom" in summary:
+        g = summary["per_geom"]
+        summary["distance_ratio_pergeom_vs_exact"] = round(
+            g["final_x_mean"] / e["final_x_mean"], 3) \
+            if e["final_x_mean"] else None
+        summary["cost_ratio_pergeom_vs_exact"] = round(
+            g["realized_cost_mean"] / e["realized_cost_mean"], 3) \
+            if e["realized_cost_mean"] else None
     print(json.dumps(summary))
     if args.out:
         os.makedirs(os.path.dirname(os.path.abspath(args.out)),
