@@ -54,9 +54,14 @@ def _make_plant_step(model, config, plant_substeps, terrain,
             and terrain_plant == "kernel":
         from ..ops.pallas_step import build_pallas_substep
 
+        # unroll=False: fori_loop substeps keep the plant-kernel trace at
+        # ONE substep graph (87.6 -> 10.1 s of client-side tracing for
+        # the go1 plant; the solver kernel stays unrolled — it is the
+        # runtime hot path, the plant runs once per tick)
         plant_sub = build_pallas_substep(
             model, float(model.timestep), k_tile=1,
             n_substeps=plant_substeps, with_plane="per_geom",
+            unroll=False,
         )
 
         def plant_step(st: State, ctrl):
@@ -68,9 +73,11 @@ def _make_plant_step(model, config, plant_substeps, terrain,
     elif config.engine == "pallas" and terrain is None:
         from ..ops.pallas_step import build_pallas_substep
 
+        # unroll=False is BIT-IDENTICAL to the unrolled flat plant
+        # (tests/test_pallas_core.py) and cuts its trace time ~9x
         plant_sub = build_pallas_substep(
             model, float(model.timestep), k_tile=1,
-            n_substeps=plant_substeps,
+            n_substeps=plant_substeps, unroll=False,
         )
 
         def plant_step(st: State, ctrl):

@@ -166,6 +166,28 @@ def _ramp_terrain_mini(slope=0.08, n=9, half=2.0):
     return m, Terrain(height=jnp.asarray(height))
 
 
+def test_mini_loop_substeps_bitidentical_to_unrolled():
+    """unroll=False (fori_loop substeps inside the kernel) must be
+    BIT-identical to the unrolled kernel on the flat path — it is the
+    plant integrator of every flat MPC loop (chosen for its ~9x faster
+    client-side trace)."""
+    from opendog_tpu.ops.pallas_step import build_pallas_substep
+
+    m = load_mini()
+    K = 8
+    qpos, qvel, ctrl = _random_batch(m, K, seed=11)
+    qp, qv, ct = (jnp.asarray(qpos.T), jnp.asarray(qvel.T),
+                  jnp.asarray(ctrl.T))
+    a = build_pallas_substep(m, m.timestep, k_tile=K, n_substeps=10,
+                             interpret=True)
+    b = build_pallas_substep(m, m.timestep, k_tile=K, n_substeps=10,
+                             interpret=True, unroll=False)
+    qa, va = a(qp, qv, ct)
+    qb, vb = b(qp, qv, ct)
+    assert np.array_equal(np.asarray(qa), np.asarray(qb))
+    assert np.array_equal(np.asarray(va), np.asarray(vb))
+
+
 def test_mini_pergeom_plane_matches_lane_plane_when_equal():
     """with_plane="per_geom" fed the SAME plane for every geom must
     reproduce the per-lane plane kernel exactly (same scalar graph, same
